@@ -1,0 +1,67 @@
+"""Engine configuration.
+
+Defaults mirror the reference engine where it has them
+(/root/reference/src/main/index.h:16-24 — hits_per_page 20, max_hits cap
+1000, max_facet_results 10, full_scan_threshold 25000) and standard Okapi
+BM25 constants k1=1.2, b=0.75 where it does not (marlin has no BM25; see
+SURVEY.md preamble).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 (Okapi defaults; marlin defines none: SURVEY.md preamble) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- index layout ---
+    # Docs per compressed posting block. Blocks never cross a doc-range
+    # boundary so (term, range_id) is a complete, independently-buildable
+    # unit — this is the structural skew fix for Zipf head terms.
+    block_size: int = 128
+    # Docid range width. 2^16 mirrors roaring-container ranges in the
+    # reference (/root/reference/src/main/cont.h:8-14) and bounds the
+    # postings of any (term, range) group to <= 65536 docs.
+    range_size: int = 1 << 16
+    # Number of term hash buckets = partition dirs of dictionary/postings.
+    # Query-time partition pruning reads only the buckets of query terms.
+    # Sandbox default 32; at 100 TB raise to O(4096).
+    n_term_buckets: int = 32
+    # Extra salt factor applied on top of (term, range_id) when
+    # repartitioning the exploded token stream, so a single shuffle
+    # partition never holds one head term's whole range set.
+    shuffle_salt: int = 4
+    # Resumable build: term buckets are processed in this many checkpoint
+    # groups; a completed group is never re-done on restart.
+    build_groups: int = 1
+    # Shuffle partitions for the build (None -> session default).
+    build_partitions: int | None = None
+
+    # --- query defaults (reference: src/main/index.h:16-24) ---
+    hits_per_page: int = 20
+    max_hits: int = 1000
+    max_facet_results: int = 10
+    full_scan_threshold: int = 25000
+
+    # --- analyzer ---
+    # "marlin": exact reimplementation of the reference default analyzer
+    #           (/root/reference/src/analyzer/default_analyzer.c).
+    # "simple": lowercase [a-z0-9]+ regex split — SQL-expressible, used for
+    #           DuckDB-oracle-checked entries.
+    # "whitespace": split on whitespace
+    #           (/root/reference/src/analyzer/whitespace_analyzer.c).
+    analyzer: str = "marlin"
+
+    extra: dict = field(default_factory=dict)
+
+    def norm_const(self) -> float:
+        return self.k1 * (1.0 - self.b)
+
+    def with_(self, **kw) -> "EngineConfig":
+        from dataclasses import replace
+
+        return replace(self, **kw)

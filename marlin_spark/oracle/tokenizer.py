@@ -1,0 +1,186 @@
+"""Reimplementation of the reference engine's default analyzer in Python.
+
+Semantics derived by reading /root/reference/src/analyzer/default_analyzer.c
+(no code copied — different language, different structure; the quirks are
+reproduced deliberately because "per-turn text equality" rank-identity
+depends on them):
+
+- Normalization = utf8proc_map with CASEFOLD|STRIPMARK|COMPOSE|COMPAT|
+  LUMP|STRIPCC|STRIPNA|IGNORE (default_analyzer.c:9-13). Emulated with
+  unicodedata: NFKD -> casefold -> strip marks (Mn/Mc/Me) -> lump common
+  punctuation variants -> strip control/format/unassigned -> NFC.
+- Token codepoint categories: Ll Lo Pc Mc Mn Nd Nl No
+  (default_analyzer.c:32-41); everything else separates.
+- '.' after a single char or inside an abbreviation is dropped:
+  "u.s.a." -> "usa" (default_analyzer.c:44-50).
+- "'" is dropped: "don't" -> "dont" (default_analyzer.c:51-55).
+- '-' splits: each part is emitted at ++position as it is completed at a
+  '-' boundary; the FINAL part is emitted at the *current* position (shared
+  with the previous part); in index mode the concatenation of all parts is
+  additionally emitted at that same position (default_analyzer.c:56-90).
+  A trailing '-' suppresses the concatenation (the len-hs==0 goto,
+  default_analyzer.c:82-84).
+- The 128-codepoint token buffer resets when len reaches 127
+  (default_analyzer.c:97-99) — C keeps writing over the same buffer, which
+  we emulate with an explicit (buf, length) pair so >127-char runs behave
+  bit-identically.
+- Positions are 1-based ints.
+
+Two modes: "index" (emits hyphen concatenation) and "search" (does not) —
+the only difference between analyze_string_for_indexing and
+analyze_string_for_search in the reference.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import List, Tuple
+
+# Categories whose codepoints are token characters
+# (/root/reference/src/analyzer/default_analyzer.c:32-41).
+_TOKEN_CATS = frozenset({"Ll", "Lo", "Pc", "Mc", "Mn", "Nd", "Nl", "No"})
+
+# utf8proc LUMP: variant punctuation lumped to an ASCII canonical form.
+# Subset relevant to tokenization (quotes -> "'", dashes -> "-",
+# exotic spaces -> " "); NFKC handles most width/compat variants already.
+_LUMP = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "′": "'", "´": "'", "`": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "−": "-",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", " ": " ", "　": " ",
+    "⁄": "/", "∕": "/",
+}
+
+# Control chars converted to space by STRIPCC (others are removed).
+_CC_TO_SPACE = frozenset("\t\n\v\f\r\x85  ")
+
+_MARK_CATS = frozenset({"Mn", "Mc", "Me"})
+
+
+def normalize(text: str) -> str:
+    """Emulate the utf8proc_map flag set of the reference analyzer."""
+    s = unicodedata.normalize("NFKD", text).casefold()
+    # casefold can produce composed chars; decompose again before stripping
+    s = unicodedata.normalize("NFKD", s)
+    out = []
+    for ch in s:
+        ch = _LUMP.get(ch, ch)
+        cat = unicodedata.category(ch)
+        if cat in _MARK_CATS:  # STRIPMARK
+            continue
+        if cat == "Cc":  # STRIPCC
+            if ch in _CC_TO_SPACE:
+                out.append(" ")
+            continue
+        if cat in ("Cf", "Cn"):  # IGNORE / STRIPNA
+            continue
+        out.append(ch)
+    return unicodedata.normalize("NFC", "".join(out))  # COMPOSE
+
+
+def tokenize(text: str, mode: str = "index") -> List[Tuple[str, int]]:
+    """Tokenize normalized text into (term, 1-based position) pairs.
+
+    ``mode`` is "index" or "search"; they differ only in hyphen
+    concatenation emission (see module docstring).
+    """
+    index_mode = mode == "index"
+    norm = normalize(text)
+    n = len(norm)
+    out: List[Tuple[str, int]] = []
+    # C-faithful fixed buffer emulation: ``buf`` only grows, ``length`` is
+    # the live prefix; resets set length=0 without clearing buf.
+    buf: List[str] = []
+    length = 0
+    hs = 0
+    position = 0
+    is_abbrev = False
+    is_hyphen = False
+
+    i = 0
+    while i < n:
+        cp = norm[i]
+        add_word = 2 if i == n - 1 else 0
+        cat = unicodedata.category(cp)
+        if cat in _TOKEN_CATS:
+            if length < len(buf):
+                buf[length] = cp
+            else:
+                buf.append(cp)
+            length += 1
+        else:
+            consumed = False
+            if cp == "." and (length == 1 or is_abbrev):
+                is_abbrev = True
+                consumed = True
+            elif cp == "'":
+                is_abbrev = True
+                consumed = True
+            elif cp == "-" and length > 0:
+                is_hyphen = True
+                position += 1
+                out.append(("".join(buf[hs:length]), position))
+                hs = length
+                consumed = True
+            if not consumed:
+                add_word = 1
+        i += 1
+
+        if add_word and length > 0:
+            if is_hyphen:
+                if length - hs > 0:
+                    out.append(("".join(buf[hs:length]), position))
+                    if index_mode:
+                        # C: position-- then the concat emit at ++position —
+                        # net: concatenation shares the final part's position
+                        out.append(("".join(buf[:length]), position))
+                # else: parts already emitted; concatenation suppressed
+            else:
+                position += 1
+                out.append(("".join(buf[:length]), position))
+            is_hyphen = False
+            is_abbrev = False
+            length = 0
+            hs = 0
+        if length >= 127:
+            length = 0
+
+    return out
+
+
+def simple_tokenize(text: str) -> List[Tuple[str, int]]:
+    """SQL-expressible analyzer: lowercase, split on non-[a-z0-9].
+
+    Matches ``split(lower(text), '[^a-z0-9]+')`` in both Spark SQL and
+    DuckDB — used for the DuckDB-oracle-checked query entries.
+    """
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return [(t, i + 1) for i, t in enumerate(toks)]
+
+
+def whitespace_tokenize(text: str) -> List[Tuple[str, int]]:
+    """Reference whitespace analyzer analog
+    (/root/reference/src/analyzer/whitespace_analyzer.c)."""
+    toks = [t for t in text.split() if t]
+    return [(t, i + 1) for i, t in enumerate(toks)]
+
+
+ANALYZERS = {
+    "marlin": lambda s: tokenize(s, "index"),
+    "marlin_search": lambda s: tokenize(s, "search"),
+    "simple": simple_tokenize,
+    "whitespace": whitespace_tokenize,
+}
+
+
+def analyze(text: str, analyzer: str = "marlin", mode: str = "index"):
+    if analyzer == "marlin":
+        return tokenize(text, mode)
+    return ANALYZERS[analyzer](text)
