@@ -1,0 +1,114 @@
+"""Vectorized delta + varbyte posting-block codec (numpy, no per-row Python).
+
+The reference stores positions with a scalar 7-bit-continuation vint codec
+(/root/reference/src/main/sindex.c:328-351) and docid sets as roaring
+bitmaps (/root/reference/src/main/bmap.c). This engine replaces both with
+block-compressed posting lists (standard IR layout — delta gaps + varbyte,
+per-block skip metadata + block-max scores), encoded/decoded with numpy
+array ops so the codec runs vectorized inside Arrow UDF batches.
+
+Varbyte format: little-endian 7-bit groups, high bit set = continuation.
+
+Block payload is split into TWO binary columns so Parquet column pruning
+lets BM25 queries never read position bytes from disk:
+- postings_bytes: vb[n] + vb[docid:first abs, then gaps-1? no: gaps] +
+  vb[tf]*n + vb[dl]*n
+- positions_bytes: per doc, tf values: first position absolute then gaps
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESH = [1 << (7 * k) for k in range(1, 9)]
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESH:
+        nb += (v >= np.uint64(t)).astype(np.int64)
+    total = int(nb.sum())
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    vi = np.repeat(v, nb)
+    ji = (np.arange(total) - np.repeat(starts, nb)).astype(np.uint64)
+    out = ((vi >> (np.uint64(7) * ji)) & np.uint64(0x7F)).astype(np.uint8)
+    is_last = ji == np.repeat(nb - 1, nb).astype(np.uint64)
+    out[~is_last] |= np.uint8(0x80)
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term_idx = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty_like(term_idx)
+    starts[0] = 0
+    starts[1:] = term_idx[:-1] + 1
+    sizes = term_idx - starts + 1
+    ji = (np.arange(b.size) - np.repeat(starts, sizes)).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * ji)
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_block(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: np.ndarray,
+) -> tuple[bytes, bytes]:
+    """Encode one block (docids strictly increasing; positions doc-major,
+    ``tfs[i]`` positions for doc i). Returns (postings_bytes, positions_bytes).
+    """
+    n = docids.shape[0]
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    deltas[1:] = np.diff(docids.astype(np.uint64))
+    head = np.concatenate(
+        [
+            np.array([n], dtype=np.uint64),
+            deltas,
+            tfs.astype(np.uint64),
+            dls.astype(np.uint64),
+        ]
+    )
+    if positions.size:
+        pos = positions.astype(np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(tfs)[:-1].astype(np.int64)
+        pdelta = np.diff(pos, prepend=0).astype(np.int64)
+        # reset delta chain at each doc's first position (store absolute)
+        pdelta[starts] = pos[starts]
+        pos_bytes = vb_encode(pdelta.astype(np.uint64))
+    else:
+        pos_bytes = b""
+    return vb_encode(head), pos_bytes
+
+
+def decode_block(postings_bytes: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (docids, tfs, dls) from postings_bytes."""
+    vals = vb_decode(postings_bytes)
+    n = int(vals[0])
+    docids = np.cumsum(vals[1 : 1 + n])
+    tfs = vals[1 + n : 1 + 2 * n]
+    dls = vals[1 + 2 * n : 1 + 3 * n]
+    return docids, tfs, dls
+
+
+def decode_positions(positions_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode doc-major positions array given per-doc tfs."""
+    deltas = vb_decode(positions_bytes).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    tfs = tfs.astype(np.int64)
+    starts = np.zeros(tfs.shape[0], dtype=np.int64)
+    starts[1:] = np.cumsum(tfs)[:-1]
+    cum = np.cumsum(deltas)
+    base = cum[starts] - deltas[starts]
+    return cum - np.repeat(base, tfs)

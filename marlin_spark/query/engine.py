@@ -1,0 +1,335 @@
+"""Search engine: planner + exact scorer + WAND dispatch (SURVEY.md §3.1).
+
+Query lifecycle mapping (reference: api.c -> index_json_query ->
+execute_query fan-out -> per-shard squery -> form_result merge):
+1. driver-side plan: analyze query text with the same analyzer (search
+   mode), look up query terms in the dictionary with bucket partition
+   pruning + term pushdown, compute idf (reference: lookup_terms,
+   /root/reference/src/main/squery.c:159-166);
+2. one Spark job: partition-pruned scan of postings (only the buckets of
+   the query terms, only the postings_bytes column — positions are never
+   read for BM25), score, global TakeOrderedAndProject top-k;
+3. hydration = broadcast join of the top page against docs/
+   (reference: query.c:385-401).
+
+Determinism contract (matches the oracle, marlin_spark.oracle.bm25):
+ranking key = (round(score, 9) desc, docid asc).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marlin_spark.config import EngineConfig
+from marlin_spark.index.catalog import IndexCatalog, term_bucket_py
+from marlin_spark.oracle.tokenizer import analyze
+from marlin_spark.query.wand import make_wand_scorer
+
+DECODE_SCHEMA = "term string, docid long, tf int, dl int"
+
+
+@dataclass
+class QueryPlan:
+    query: str
+    words: list[str]
+    # scoring terms: term -> (idf, slot); slot = index of the required
+    # word group (prefix expansions share their word's slot)
+    term_meta: dict[str, tuple[float, int]] = field(default_factory=dict)
+    n_slots: int = 0
+    mode: str = "any"
+    k: int = 10
+    match_all_docs: bool = False
+
+
+def _decode_blocks(batches):
+    import pandas as pd
+
+    from marlin_spark.functions.codec import decode_block
+
+    for pdf in batches:
+        out_t, out_d, out_tf, out_dl = [], [], [], []
+        for term, blob in zip(pdf["term"], pdf["postings"]):
+            docids, tfs, dls = decode_block(blob)
+            out_t.extend([term] * len(docids))
+            out_d.append(docids)
+            out_tf.append(tfs)
+            out_dl.append(dls)
+        if out_t:
+            import numpy as np
+
+            yield pd.DataFrame(
+                {
+                    "term": out_t,
+                    "docid": np.concatenate(out_d).astype("int64"),
+                    "tf": np.concatenate(out_tf).astype("int32"),
+                    "dl": np.concatenate(out_dl).astype("int32"),
+                }
+            )
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig | None = None):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.stats = self.cat.read_json("stats.json")
+        cfg = config or EngineConfig()
+        self.cfg = cfg.with_(
+            k1=self.stats.get("k1", cfg.k1),
+            b=self.stats.get("b", cfg.b),
+            analyzer=self.stats.get("analyzer", cfg.analyzer),
+            n_term_buckets=self.stats.get("n_term_buckets", cfg.n_term_buckets),
+        )
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+
+    # ------------------------------------------------------------- plan
+    def idf(self, df: int) -> float:
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def analyze_query(self, q: str) -> list[str]:
+        return sorted({t for t, _ in analyze(q, self.cfg.analyzer, mode="search")})
+
+    def _dictionary_lookup(self, terms: list[str], prefixes: list[str]) -> list[dict]:
+        """Partition-pruned + pushed-down dictionary scan."""
+        d = self.cat.read(self.spark, "dictionary")
+        conds = []
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
+        )
+        if terms:
+            conds.append(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+        for p in prefixes:
+            # term range scan over sorted dictionary files (dtrie subtree
+            # walk analog, /root/reference/src/main/dtrie.c:642-700)
+            conds.append(F.col("term").startswith(p))
+        if not conds:
+            return []
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return [r.asDict() for r in d.filter(cond).select("term", "df").collect()]
+
+    def plan(self, q: str, k: int = 10, mode: str = "any", prefix_last: bool = False) -> QueryPlan:
+        words = self.analyze_query(q)
+        plan = QueryPlan(query=q, words=words, mode=mode, k=min(k, self.cfg.max_hits))
+        if not words:
+            plan.match_all_docs = True
+            return plan
+        exact_terms = list(words)
+        prefixes = []
+        if prefix_last:
+            prefixes = [words[-1]]
+            exact_terms = words[:-1]
+        rows = self._dictionary_lookup(exact_terms or words, prefixes)
+        slot_of_word = {w: i for i, w in enumerate(words)}
+        for r in rows:
+            t = r["term"]
+            if t in slot_of_word:
+                slot = slot_of_word[t]
+            elif prefix_last and t.startswith(words[-1]):
+                # prefix expansions share the source word's slot so that
+                # mode='all' treats "any expansion present" as satisfying
+                # the word (oracle: OracleIndex.search required handling)
+                slot = slot_of_word[words[-1]]
+            else:
+                continue
+            plan.term_meta[t] = (self.idf(r["df"]), slot)
+        plan.n_slots = len(words)
+        return plan
+
+    # ----------------------------------------------------------- search
+    def _matched_blocks(self, plan: QueryPlan) -> DataFrame:
+        posts = self.cat.read(self.spark, "postings")
+        terms = list(plan.term_meta)
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
+        )
+        return posts.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _rank(self, scored: DataFrame, k: int) -> DataFrame:
+        return (
+            scored.withColumn("score", F.round(F.col("score"), 9))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def search(
+        self,
+        q: str,
+        k: int = 10,
+        mode: str = "any",
+        prefix_last: bool = False,
+        use_wand: bool = True,
+        filter_cond=None,
+    ) -> DataFrame:
+        """Top-k BM25. Returns DataFrame(docid, score) ranked.
+
+        filter_cond: optional Catalyst Column over docs/ columns
+        (role/tool/ts/...). Filters force the exact path — the filter is
+        ANDed before ranking, like the reference
+        (/root/reference/src/main/squery.c:377-395).
+        """
+        plan = self.plan(q, k, mode, prefix_last)
+        if plan.match_all_docs:
+            docs = self.cat.read(self.spark, "docs")
+            if filter_cond is not None:
+                docs = docs.filter(filter_cond)
+            return (
+                docs.select("docid")
+                .withColumn("score", F.lit(0.0))
+                .orderBy("docid")
+                .limit(plan.k)
+            )
+        if not plan.term_meta:
+            return self.spark.createDataFrame([], "docid long, score double")
+        if use_wand and filter_cond is None:
+            return self._search_wand(plan)
+        return self._search_exact(plan, filter_cond)
+
+    # exact path: full scoring through DataFrame ops (verification path &
+    # filtered path)
+    def _search_exact(self, plan: QueryPlan, filter_cond=None) -> DataFrame:
+        postings = self._decoded_postings(plan)
+        meta = self.spark.createDataFrame(
+            [(t, float(i), int(s)) for t, (i, s) in plan.term_meta.items()],
+            "term string, idf double, slot int",
+        )
+        k1, b = self.cfg.k1, self.cfg.b
+        scored = (
+            postings.join(F.broadcast(meta), "term")
+            .withColumn(
+                "tscore",
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / float(self.avgdl))
+                ),
+            )
+            .groupBy("docid")
+            .agg(
+                F.sum("tscore").alias("score"),
+                F.countDistinct("slot").alias("n_slots"),
+            )
+        )
+        if plan.mode == "all":
+            scored = scored.filter(F.col("n_slots") >= plan.n_slots)
+        scored = scored.drop("n_slots")
+        if filter_cond is not None:
+            docs = self.cat.read(self.spark, "docs").filter(filter_cond)
+            scored = scored.join(docs.select("docid"), "docid", "left_semi")
+        return self._rank(scored, plan.k)
+
+    def _decoded_postings(self, plan: QueryPlan) -> DataFrame:
+        blocks = self._matched_blocks(plan).select("term", "postings")
+        return blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA)
+
+    # WAND path
+    def _search_wand(self, plan: QueryPlan) -> DataFrame:
+        sc = self.spark.sparkContext
+        acc = {
+            "ranges_skipped": sc.accumulator(0),
+            "ranges_scored": sc.accumulator(0),
+        }
+        self._last_wand_counters = acc
+        blocks = self._matched_blocks(plan).select(
+            "term", "range_id", "block_id", "max_tfnorm", "postings"
+        )
+        n_part = max(
+            1,
+            min(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                (self.n_docs // self.cfg.range_size) + 1,
+            ),
+        )
+        scorer = make_wand_scorer(
+            plan.term_meta,
+            plan.k,
+            plan.n_slots,
+            plan.mode,
+            self.cfg.k1,
+            self.cfg.b,
+            self.avgdl,
+            acc,
+        )
+        local = blocks.repartition(n_part, "range_id").mapInPandas(
+            scorer, "docid long, score double"
+        )
+        return self._rank(local, plan.k)
+
+    # ------------------------------------------------------- hydration
+    def hydrate(self, hits: DataFrame) -> DataFrame:
+        """Join top-k ids back to stored turns (broadcast the tiny side —
+        reference: query.c:385-401 fetch+decompress)."""
+        docs = self.cat.read(self.spark, "docs")
+        return docs.join(F.broadcast(hits), "docid").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+
+    # ------------------------------------------------- batched queries
+    def search_many(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
+        """Score MANY queries in one Spark job (throughput path for the
+        wrk-style benchmark set). Exact scoring; one postings scan over
+        the union of all query terms; per-query top-k via window."""
+        plans = {qid: self.plan(q, k, mode) for qid, q in queries.items()}
+        rows = []
+        for qid, plan in plans.items():
+            for t, (idf, slot) in plan.term_meta.items():
+                rows.append((qid, t, float(idf), int(slot), int(plan.n_slots)))
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, docid long, score double, rank int"
+            )
+        meta = self.spark.createDataFrame(
+            rows, "query_id string, term string, idf double, slot int, n_slots int"
+        )
+        all_terms = sorted({r[1] for r in rows})
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in all_terms}
+        )
+        posts = self.cat.read(self.spark, "postings").filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
+        decoded = posts.select("term", "postings").mapInPandas(
+            _decode_blocks, DECODE_SCHEMA
+        )
+        k1, b = self.cfg.k1, self.cfg.b
+        scored = (
+            decoded.join(F.broadcast(meta), "term")
+            .withColumn(
+                "tscore",
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / float(self.avgdl))
+                ),
+            )
+            .groupBy("query_id", "docid")
+            .agg(
+                F.sum("tscore").alias("score"),
+                F.countDistinct("slot").alias("got_slots"),
+                F.first("n_slots").alias("n_slots"),
+            )
+        )
+        if mode == "all":
+            scored = scored.filter(F.col("got_slots") >= F.col("n_slots"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", 9)), F.asc("docid")
+        )
+        return (
+            scored.withColumn("score", F.round("score", 9))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "docid", "score", "rank")
+        )

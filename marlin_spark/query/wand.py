@@ -1,0 +1,140 @@
+"""Block-max WAND top-k scorer over compressed posting blocks.
+
+Runs as mapInPandas over matched block rows repartitioned by doc range
+(range_id). Within a partition, ranges are processed in descending
+upper-bound order with the top-k threshold THETA carried across ranges:
+
+- range upper bound = sum over query terms of idf * max(block max_tfnorm
+  in range): if ub <= THETA the WHOLE range (all its blocks, all terms) is
+  skipped without decoding — this is block-max pruning at doc-range
+  granularity, which is *sound for exact scores*: a pruned range cannot
+  contain a top-k doc, and no surviving doc ever loses a term
+  contribution (pruning single blocks of one term would silently corrupt
+  scores of docs that other terms still emit — the classic per-block WAND
+  pivot needs doc-at-a-time cursors, a scalar loop that belongs in native
+  code, not in a Python executor).
+- surviving ranges decode (docids, tfs, dls) — the positions column is
+  never read (parquet column pruning) — and score fully vectorized:
+  per-term scores concatenated, stable-argsorted by docid (terms iterate
+  in sorted order => accumulation order matches the oracle), summed with
+  np.add.reduceat.
+
+Reference analog: the fast-rank partial scan + early termination
+(/root/reference/src/main/docrank.c:478-574); ours prunes with provable
+score bounds instead of sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from marlin_spark.functions.codec import decode_block
+
+_EPS = 1e-9
+
+
+def make_wand_scorer(
+    term_meta: dict[str, tuple[float, int]],
+    k: int,
+    n_slots: int,
+    mode: str = "any",
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = 1.0,
+    counters: dict | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """term_meta: term -> (idf, slot). Slots group prefix expansions with
+    their source word for conjunctive (mode='all') matching; n_slots is
+    the number of required slots."""
+
+    norm_c = k1 * (1.0 - b)
+    norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
+    acc = counters or {}
+
+    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in batches if not pdf.empty]
+        if not rows:
+            yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                "score": pd.Series([], dtype="float64")})
+            return
+        all_blocks = pd.concat(rows, ignore_index=True)
+
+        # group blocks by range, compute each range's upper bound
+        ranges: dict[int, list] = {}
+        for t in all_blocks.itertuples(index=False):
+            ranges.setdefault(t.range_id, []).append(t)
+        ubs = []
+        for rid, blks in ranges.items():
+            per_term_max: dict[str, float] = {}
+            for blk in blks:
+                idf = term_meta[blk.term][0]
+                v = idf * blk.max_tfnorm
+                if v > per_term_max.get(blk.term, -1.0):
+                    per_term_max[blk.term] = v
+            ubs.append((sum(per_term_max.values()), rid))
+        ubs.sort(reverse=True)
+
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        skipped = 0
+
+        for ub, rid in ubs:
+            # strict: a range whose bound EQUALS theta can still hold an
+            # equal-score doc that wins the docid tie-break
+            if top_d.size >= k and ub < theta - _EPS:
+                skipped += 1
+                continue
+            # decode: per term (sorted -> oracle accumulation order)
+            blks = sorted(ranges[rid], key=lambda t: (t.term, t.block_id))
+            d_parts, s_parts, slot_parts = [], [], []
+            for blk in blks:
+                docids, tfs, dls = decode_block(blk.postings)
+                tfn = tfs.astype(np.float64)
+                score = term_meta[blk.term][0] * tfn * (k1 + 1.0) / (
+                    tfn + norm_c + norm_s * dls.astype(np.float64)
+                )
+                d_parts.append(docids.astype(np.int64))
+                s_parts.append(score)
+                slot_parts.append(
+                    np.full(docids.shape[0], term_meta[blk.term][1], dtype=np.int64)
+                )
+            d = np.concatenate(d_parts)
+            s = np.concatenate(s_parts)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            starts = np.flatnonzero(np.diff(d, prepend=-1))
+            scores = np.add.reduceat(s, starts)
+            u_docids = d[starts]
+            if mode == "all" and n_slots > 0:
+                slots = np.concatenate(slot_parts)[order]
+                # distinct slots per doc: sort (doc, slot) pairs
+                key = d * (n_slots + 1) + slots
+                uniq = np.unique(key)
+                cnt = np.bincount(
+                    np.searchsorted(u_docids, uniq // (n_slots + 1)),
+                    minlength=u_docids.shape[0],
+                )
+                keep = cnt >= n_slots
+                u_docids, scores = u_docids[keep], scores[keep]
+            if u_docids.size == 0:
+                continue
+            top_d = np.concatenate([top_d, u_docids])
+            top_s = np.concatenate([top_s, scores])
+            if top_d.size > k:
+                # same comparator as the global merge: rounded score desc,
+                # docid asc — keeps partition-local and global top-k
+                # selections consistent under ties
+                order = np.lexsort((top_d, -np.round(top_s, 9)))[:k]
+                top_d, top_s = top_d[order], top_s[order]
+            if top_d.size >= k:
+                theta = top_s.min()
+        if acc:
+            acc["ranges_skipped"].add(skipped)
+            acc["ranges_scored"].add(len(ubs) - skipped)
+        yield pd.DataFrame({"docid": top_d, "score": top_s})
+
+    return scorer

@@ -1,0 +1,103 @@
+"""Top-k BM25 rank-identity: Spark engine (exact AND WAND paths) vs the
+single-process oracle, over the reference query set (FIXTURES.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marlin_spark.query.engine import SearchEngine
+
+QUERIES = [
+    "",                       # 1. empty = match-all
+    "test",                   # 2. single exact term
+    "worst",                  # 3. rare term
+    "aaaa bbbb",              # 6. two-word
+    "this best worst",        # 7. three-word
+    "state-of-the-art",       # hyphen analyzer path
+    "U.S.A.",                 # abbreviation path
+    "don't stop",
+    "zzzz-not-in-corpus",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_index):
+    d, cfg, _ = tiny_index
+    return SearchEngine(spark, d, cfg)
+
+
+def _oracle_ranks(tiny_oracle, q, k=10, mode="any", prefix=False):
+    return [
+        (d, round(s, 6))
+        for d, s in tiny_oracle.search(q, k=k, mode=mode, prefix_last=prefix)
+    ]
+
+
+def _spark_ranks(engine, q, k=10, mode="any", prefix=False, wand=True):
+    rows = engine.search(
+        q, k=k, mode=mode, prefix_last=prefix, use_wand=wand
+    ).collect()
+    return [(r["docid"], round(r["score"], 6)) for r in rows]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_exact_path(engine, tiny_oracle, q):
+    assert _spark_ranks(engine, q, wand=False) == _oracle_ranks(tiny_oracle, q)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_wand_path(engine, tiny_oracle, q):
+    assert _spark_ranks(engine, q, wand=True) == _oracle_ranks(tiny_oracle, q)
+
+
+@pytest.mark.parametrize("q", ["this best", "aaaa bbbb cccc", "best worst"])
+def test_rank_identity_mode_all(engine, tiny_oracle, q):
+    for wand in (False, True):
+        assert _spark_ranks(engine, q, mode="all", wand=wand) == _oracle_ranks(
+            tiny_oracle, q, mode="all"
+        )
+
+
+@pytest.mark.parametrize("q", ["tes", "aaa", "stat", "th"])
+def test_rank_identity_prefix_last(engine, tiny_oracle, q):
+    for wand in (False, True):
+        assert _spark_ranks(engine, q, prefix=True, wand=wand) == _oracle_ranks(
+            tiny_oracle, q, prefix=True
+        )
+
+
+def test_topk_sweep(engine, tiny_oracle):
+    for k in (1, 5, 50, 200):
+        assert _spark_ranks(engine, "this", k=k) == _oracle_ranks(
+            tiny_oracle, "this", k=k
+        )
+
+
+def test_head_term_wand_equals_exact(engine, tiny_oracle):
+    # max-df Zipf head term: WAND stress (FIXTURES.md §4 item 8)
+    head = max(tiny_oracle.postings, key=lambda t: len(tiny_oracle.postings[t]))
+    assert _spark_ranks(engine, head, wand=True) == _oracle_ranks(
+        tiny_oracle, head
+    )
+
+
+def test_hydrate_returns_turn_text(engine, tiny_oracle, tiny_rows):
+    hits = engine.search("worst", k=3, use_wand=False)
+    rows = engine.hydrate(hits).collect()
+    assert rows
+    by_key = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
+    originals = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tiny_rows}
+    for key, text in by_key.items():
+        assert originals[key] == text  # per-turn text equality invariant
+
+
+def test_search_many_matches_single(engine, tiny_oracle):
+    qs = {"q1": "test", "q2": "worst best", "q3": "aaaa bbbb cccc"}
+    out = engine.search_many(qs, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["docid"], round(r["score"], 6)))
+    for qid, q in qs.items():
+        expect = [
+            (i + 1, d, s) for i, (d, s) in enumerate(_oracle_ranks(tiny_oracle, q))
+        ]
+        assert sorted(got.get(qid, [])) == expect, qid
