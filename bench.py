@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line to stdout (logs -> stderr).
+
+Default run (what the driver invokes):
+  headline queries() entries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+  local[$SPARK_GRAFT_CPUS], plus the engine bench: distributed synthetic
+  transcript corpus -> full index build (turns/sec) -> batched + single
+  BM25 queries (q/s).
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N):
+  python bench.py --scaling      runs the engine bench at local[8] and
+  local[32] via subprocesses (fresh JVM each) and reports both
+  throughputs + efficiency; also appends BENCH/scaling_r*.json.
+
+Production launch is `spark-submit --py-files marlin_spark.zip bench.py`;
+interactively the session ships the package itself (session.ship_package).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline entries: one per operator family (full registry is pytest-gated)
+HEADLINE = [
+    "ft_bm25_topk",
+    "ft_bm25_head_term",
+    "ft_dictionary_head",
+    "ft_filtered_bm25",
+    "tr_bm25_topk",
+    "tr_conv_stats",
+    "dd_exact",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "emb_near_dup",
+    "tx_langid",
+    "tx_quality",
+    "tx_token_count",
+    "tx_fingerprint",
+    "ev_hourly_counts",
+    "tpch_q1",
+    "tpch_q3_style",
+    "mm_binary_meta",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from marlin_spark.entry_queries import QUERIES
+
+    # warm the file-listing/IO path so q1 doesn't pay session cold-start
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        out[name] = round(dt, 3)
+        log(f"  {name}: {dt:.2f}s ({n} rows)")
+    return out
+
+
+def bench_queries(n: int, seed: int = 7) -> dict[str, str]:
+    """Seeded wrk-style query set over the synthetic vocabulary
+    (1-3 word queries, reference workload analog: reddit.lua random
+    prefixes)."""
+    import random
+
+    from marlin_spark.oracle.corpus import VOCAB
+
+    rng = random.Random(seed)
+    qs = {}
+    for i in range(n):
+        words = [VOCAB[min(int(rng.expovariate(0.01)), len(VOCAB) - 1)]
+                 for _ in range(rng.randint(1, 3))]
+        qs[f"q{i}"] = " ".join(words)
+    return qs
+
+
+def run_engine_bench(spark, n_turns_target: int, workdir: str) -> dict:
+    from marlin_spark.config import EngineConfig
+    from marlin_spark.corpus_spark import synthesize_transcripts
+    from marlin_spark.index.build import IndexBuilder
+    from marlin_spark.query.engine import SearchEngine
+
+    n_convs = max(1, n_turns_target // 4)  # avg (1+8)/2=4.5 turns/conv
+    trans = synthesize_transcripts(spark, n_convs)
+    idx_dir = os.path.join(workdir, "bench_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(
+        n_term_buckets=32,
+        build_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    t0 = time.time()
+    counters = IndexBuilder(spark, idx_dir, cfg).build(trans, "bench")
+    build_s = time.time() - t0
+    n_turns = counters["n_docs"]
+    log(f"  build: {n_turns} turns in {build_s:.1f}s = {n_turns/build_s:.0f} turns/s")
+
+    eng = SearchEngine(spark, idx_dir, cfg)
+    # batched throughput (200 queries, one job)
+    qs = bench_queries(200)
+    t0 = time.time()
+    n_hits = eng.search_many(qs, k=10).count()
+    batch_s = time.time() - t0
+    # single-query latency (WAND path)
+    singles = list(bench_queries(10, seed=11).values())
+    t0 = time.time()
+    for q in singles:
+        eng.search(q, k=10, use_wand=True).collect()
+    single_s = time.time() - t0
+    log(
+        f"  query: batch 200q in {batch_s:.1f}s = {200/batch_s:.1f} q/s; "
+        f"single {len(singles)}q in {single_s:.1f}s = {len(singles)/single_s:.2f} q/s"
+    )
+    return {
+        "n_turns": int(n_turns),
+        "build_sec": round(build_s, 2),
+        "build_turns_per_sec": round(n_turns / build_s, 1),
+        "bm25_batch_qps": round(200 / batch_s, 2),
+        "bm25_single_qps": round(len(singles) / single_s, 2),
+        "postings_emitted": counters.get("postings_emitted"),
+        "blocks_built": counters.get("blocks_built"),
+        "bytes_postings": counters.get("bytes_postings"),
+        "batch_hits": int(n_hits),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine-only", action="store_true")
+    ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--turns", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000")))
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    from marlin_spark.session import get_spark
+
+    spark = get_spark(
+        "marlin-bench", master=f"local[{args.cpus}]",
+        shuffle_partitions=2 * args.cpus,
+    )
+    t_all = time.time()
+    queries: dict[str, float] = {}
+    if not args.engine_only:
+        log(f"headline queries @ {SF_DIR} (local[{args.cpus}])")
+        queries = run_headline(spark, SF_DIR)
+    engine: dict = {}
+    if not args.skip_engine:
+        log(f"engine bench: {args.turns} turns (local[{args.cpus}])")
+        with tempfile.TemporaryDirectory(prefix="marlin_bench_") as wd:
+            engine = run_engine_bench(spark, args.turns, wd)
+    total = round(time.time() - t_all, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(queries.values()), 3) if queries else total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "engine": engine,
+        "cpus": args.cpus,
+        "wall_sec": total,
+    }
+    spark.stop()
+    print(json.dumps(result), flush=True)
+
+
+def run_scaling(args) -> None:
+    """N vs 4N evidence: same input, local[8] vs local[32], fresh JVMs."""
+    results = {}
+    for cpus in (8, 32):
+        log(f"=== scaling run: local[{cpus}] ===")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--engine-only",
+             "--cpus", str(cpus), "--turns", str(args.turns)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(p.stderr[-2000:])
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)["engine"]
+    b8 = results[8]["build_turns_per_sec"]
+    b32 = results[32]["build_turns_per_sec"]
+    q8 = results[8]["bm25_batch_qps"]
+    q32 = results[32]["bm25_batch_qps"]
+    out = {
+        "metric": "scaling_efficiency_build",
+        "value": round(b32 / (4 * b8), 3),
+        "unit": "ratio",
+        "n_turns": args.turns,
+        "build_turns_per_sec": {"local8": b8, "local32": b32},
+        "bm25_batch_qps": {"local8": q8, "local32": q32},
+        "scaling_efficiency_query": round(q32 / (4 * q8), 3),
+        "detail": results,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1118 @@
+"""Paired (Spark DataFrame, DuckDB SQL) query registry for the driver
+contract (__spark_entry__.py).
+
+Every entry implements an operator from SURVEY.md §2 or a training-data
+pipeline op, as a Spark pipeline over the driver's parquet tables plus a
+semantically-identical ANSI-SQL string for the DuckDB oracle. Rules kept
+throughout:
+
+- pure Catalyst expressions only (no Python UDFs) — entries must run
+  under ANY SparkSession, including the driver's, without shipping the
+  package to workers; the pandas_udf/marlin-analyzer engine paths are
+  exercised by pytest + bench.py instead;
+- every computed column aliased identically on both sides; floats rounded
+  (6 dp) before output; sums cast to BIGINT; deterministic total
+  ordering via unique trailing sort keys;
+- the "simple" analyzer (lowercase, split non-[a-z0-9]) is the
+  SQL-portable twin of the marlin analyzer (see operators/bm25_df.py).
+
+The `transcripts` view is derived deterministically from `documents`
+(conv_id=source, turn order by doc_id) so transcript-shaped operators are
+oracle-checkable against the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marlin_spark.operators.bm25_df import (
+    bm25_scores,
+    bm25_sql,
+    bm25_topk,
+    simple_terms,
+    tokens_df,
+)
+
+# --------------------------------------------------------------------- util
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# deterministic transcripts view over documents (FIXTURES.md §1 schema)
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.when(F.col("doc_id") % 4 == 0, "user")
+        .when(F.col("doc_id") % 4 == 1, "assistant")
+        .when(F.col("doc_id") % 4 == 2, "system")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, "search")
+        .when(F.col("doc_id") % 7 == 0, "python")
+        .alias("tool"),
+        F.col("doc_id"),
+    )
+
+
+TRANSCRIPTS_CTE = """transcripts AS (
+  SELECT source AS conv_id,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT AS turn_idx,
+         CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         text,
+         CASE WHEN doc_id % 3 = 0 THEN 'search'
+              WHEN doc_id % 7 = 0 THEN 'python' END AS tool,
+         doc_id
+  FROM documents)"""
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ════════════════════════════════════════════════════════ fulltext / BM25
+
+@register("ft_bm25_topk", bm25_sql("spark join table", k=10))
+def ft_bm25_topk(spark, sf_dir):
+    """Top-10 BM25, disjunctive (SURVEY §2.3/§2.6; north rule query)."""
+    return bm25_topk(_docs(spark, sf_dir), "spark join table", k=10)
+
+
+@register("ft_bm25_conjunctive", bm25_sql("data window batch", k=20, mode="all"))
+def ft_bm25_conjunctive(spark, sf_dir):
+    """mode=all: every query word required (marlin AND combine analog)."""
+    return bm25_topk(_docs(spark, sf_dir), "data window batch", k=20, mode="all")
+
+
+@register("ft_bm25_head_term", bm25_sql("the a value", k=100))
+def ft_bm25_head_term(spark, sf_dir):
+    """Head (max-df) terms, k=100 — WAND stress analog (FIXTURES §4.8)."""
+    return bm25_topk(_docs(spark, sf_dir), "the a value", k=100)
+
+
+@register(
+    "ft_match_all_page2",
+    "SELECT doc_id, 0.0 AS score FROM documents ORDER BY doc_id LIMIT 20 OFFSET 20",
+)
+def ft_match_all_page2(spark, sf_dir):
+    """Empty query + pagination page 2 (reference: empty query = all docs,
+    squery.c:216-220; page slice query.c:326-338)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.lit(0.0).alias("score"))
+        .orderBy("doc_id")
+        .offset(20)
+        .limit(20)
+    )
+
+
+@register(
+    "ft_term_match_count",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matches FROM toks WHERE term = 'spark'""",
+)
+def ft_term_match_count(spark, sf_dir):
+    """Single-term match cardinality (posting-list length)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    return toks.filter(F.col("term") == "spark").agg(
+        F.countDistinct("_doc").alias("n_matches")
+    )
+
+
+@register(
+    "ft_dictionary_head",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM toks WHERE term <> '')
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM t2 GROUP BY term ORDER BY df DESC, term LIMIT 30""",
+)
+def ft_dictionary_head(spark, sf_dir):
+    """Term dictionary head: (term, df, cf) — dtrie/wid analog (SURVEY §1.3)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("_doc").alias("df"), F.count("*").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(30)
+    )
+
+
+@register(
+    "ft_prefix_terms",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE term LIKE 'st%' GROUP BY term ORDER BY term""",
+)
+def ft_prefix_terms(spark, sf_dir):
+    """Prefix range scan over the dictionary (dtrie subtree walk analog,
+    /root/reference/src/main/dtrie.c:642-700)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        toks.filter(F.col("term").startswith("st"))
+        .groupBy("term")
+        .agg(F.countDistinct("_doc").alias("df"))
+        .orderBy("term")
+    )
+
+
+@register(
+    "ft_doc_lengths",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM toks WHERE term <> '')
+SELECT doc_id, count(*)::BIGINT AS dl FROM t2 GROUP BY doc_id ORDER BY doc_id LIMIT 100""",
+)
+def ft_doc_lengths(spark, sf_dir):
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        toks.groupBy("_doc")
+        .agg(F.count("*").alias("dl"))
+        .select(F.col("_doc").alias("doc_id"), "dl")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "ft_collection_stats",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT AS total_tokens FROM dl""",
+)
+def ft_collection_stats(spark, sf_dir):
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    dl = toks.groupBy("_doc").agg(F.count("*").alias("dl"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+@register(
+    "ft_idf",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM t2),
+q(term) AS (VALUES ('spark'), ('join'), ('table'), ('zzzunknownzzz')),
+dfs AS (SELECT q.term, count(t2.doc_id)::BIGINT AS df FROM q LEFT JOIN t2 USING (term) GROUP BY q.term)
+SELECT term, df, round(ln((n.n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+FROM dfs CROSS JOIN n ORDER BY term""",
+)
+def ft_idf(spark, sf_dir):
+    """Per-term df + Robertson idf, incl. an unseen term (df=0 path)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text").distinct()
+    n = toks.select("_doc").distinct().count()
+    q = spark.createDataFrame(
+        [("spark",), ("join",), ("table",), ("zzzunknownzzz",)], "term string"
+    )
+    dfs = (
+        q.join(toks, "term", "left")
+        .groupBy("term")
+        .agg(F.count("_doc").alias("df"))
+    )
+    return dfs.select(
+        "term",
+        "df",
+        F.round(
+            F.log((float(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+        ).alias("idf"),
+    ).orderBy("term")
+
+
+@register(
+    "ft_facet_lang",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT lang, count(*)::BIGINT AS count FROM documents JOIN m USING (doc_id)
+GROUP BY lang ORDER BY count DESC, lang LIMIT 10""",
+)
+def ft_facet_lang(spark, sf_dir):
+    """Facet counts over the match set (SURVEY §2.5 facet counting)."""
+    d = _docs(spark, sf_dir)
+    m = (
+        tokens_df(d, "doc_id", "text")
+        .filter(F.col("term") == "data")
+        .select(F.col("_doc").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(m, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(10)
+    )
+
+
+@register(
+    "ft_metric_stats",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')
+SELECT min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+       round(avg(n_chars), 6) AS avg, sum(n_chars)::BIGINT AS sum, count(*)::BIGINT AS count
+FROM documents JOIN m USING (doc_id)""",
+)
+def ft_metric_stats(spark, sf_dir):
+    """stats metric agg over matched docs (metric-aggs.c:145-218 analog)."""
+    d = _docs(spark, sf_dir)
+    m = (
+        tokens_df(d, "doc_id", "text")
+        .filter(F.col("term") == "table")
+        .select(F.col("_doc").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(m, "doc_id").agg(
+        F.min("n_chars").alias("min"),
+        F.max("n_chars").alias("max"),
+        F.round(F.avg("n_chars"), 6).alias("avg"),
+        F.sum("n_chars").alias("sum"),
+        F.count("*").alias("count"),
+    )
+
+
+@register(
+    "ft_filtered_bm25",
+    bm25_sql(
+        "data table",
+        k=10,
+        post_filter_sql="src.lang = 'en' AND src.n_chars BETWEEN 100 AND 400",
+    ),
+)
+def ft_filtered_bm25(spark, sf_dir):
+    """BM25 + filter: index-wide stats, filter ANDed onto the match set
+    (marlin squery.c:377-395 semantics)."""
+    d = _docs(spark, sf_dir)
+    scored = bm25_scores(d, "data table")
+    filt = d.filter((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+    return (
+        scored.join(filt.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("score", F.round("score", 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ft_cardinality",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'query')
+SELECT count(DISTINCT source)::BIGINT AS cardinality FROM documents JOIN m USING (doc_id)""",
+)
+def ft_cardinality(spark, sf_dir):
+    """Exact cardinality agg (reference metric-aggs.c:10-103; HLL was its
+    TODO — approx_count_distinct is this engine's scale variant)."""
+    d = _docs(spark, sf_dir)
+    m = (
+        tokens_df(d, "doc_id", "text")
+        .filter(F.col("term") == "query")
+        .select(F.col("_doc").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(m, "doc_id").agg(
+        F.countDistinct("source").alias("cardinality")
+    )
+
+
+# ═══════════════════════════════════════════════════ transcripts-shaped
+
+@register(
+    "tr_docid_assignment",
+    f"""WITH {TRANSCRIPTS_CTE},
+d AS (SELECT conv_id, turn_idx, row_number() OVER (ORDER BY conv_id, turn_idx) AS docid FROM transcripts)
+SELECT docid, conv_id, turn_idx FROM d ORDER BY docid LIMIT 200""",
+)
+def tr_docid_assignment(spark, sf_dir):
+    """Deterministic dense docid = rank of (conv_id, turn_idx) — the
+    engine's docid contract (SURVEY §1.1)."""
+    t = transcripts_df(spark, sf_dir)
+    w = Window.orderBy("conv_id", "turn_idx")
+    return (
+        t.select("conv_id", "turn_idx")
+        .withColumn("docid", F.row_number().over(w).cast("long"))
+        .select("docid", "conv_id", "turn_idx")
+        .orderBy("docid")
+        .limit(200)
+    )
+
+
+@register(
+    "tr_bm25_topk",
+    bm25_sql(
+        "stream batch window",
+        k=10,
+        table="transcripts",
+        id_col="doc_id",
+        extra_ctes=TRANSCRIPTS_CTE,
+    ),
+)
+def tr_bm25_topk(spark, sf_dir):
+    """BM25 over transcript turns (the north-rule query, oracle-checked
+    via the derived transcripts view)."""
+    return bm25_topk(
+        transcripts_df(spark, sf_dir), "stream batch window", k=10, id_col="doc_id"
+    )
+
+
+@register(
+    "tr_role_facet",
+    f"WITH {TRANSCRIPTS_CTE} "
+    "SELECT role, count(*)::BIGINT AS count FROM transcripts GROUP BY role "
+    "ORDER BY count DESC, role",
+)
+def tr_role_facet(spark, sf_dir):
+    return (
+        transcripts_df(spark, sf_dir)
+        .groupBy("role")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("role"))
+    )
+
+
+@register(
+    "tr_tool_facet",
+    f"WITH {TRANSCRIPTS_CTE} "
+    "SELECT tool, count(*)::BIGINT AS count FROM transcripts "
+    "WHERE tool IS NOT NULL GROUP BY tool ORDER BY count DESC, tool",
+)
+def tr_tool_facet(spark, sf_dir):
+    return (
+        transcripts_df(spark, sf_dir)
+        .filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("tool"))
+    )
+
+
+@register(
+    "tr_conv_stats",
+    f"""WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, count(*)::BIGINT AS n_turns, max(turn_idx)::BIGINT AS max_turn
+FROM transcripts GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 10""",
+)
+def tr_conv_stats(spark, sf_dir):
+    return (
+        transcripts_df(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"), F.max("turn_idx").alias("max_turn"))
+        .orderBy(F.desc("n_turns"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "tr_filter_matrix",
+    f"""WITH {TRANSCRIPTS_CTE}
+SELECT role, count(*)::BIGINT AS count FROM transcripts
+WHERE turn_idx BETWEEN 2 AND 5 AND role IN ('user', 'tool')
+GROUP BY role ORDER BY role""",
+)
+def tr_filter_matrix(spark, sf_dir):
+    """$gte+$lte range fusion + $in filter (SURVEY §2.4)."""
+    from marlin_spark.query.filters import filter_to_column
+
+    cond = filter_to_column(
+        {"turn_idx": {"$gte": 2, "$lte": 5}, "role": {"$in": ["user", "tool"]}}
+    )
+    return (
+        transcripts_df(spark, sf_dir)
+        .filter(cond)
+        .groupBy("role")
+        .agg(F.count("*").alias("count"))
+        .orderBy("role")
+    )
+
+
+# ═══════════════════════════════════════════════ dedup (training pipeline)
+
+_SHINGLE_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+_SHINGLE_CTES = """toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS l
+  FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks),
+sh0 AS (SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS s
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+        JOIN pos c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+
+def _shingles_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')").alias(
+            "toks"
+        ),
+    )
+    return (
+        toks.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("s"))
+        .distinct()
+    )
+
+
+@register(
+    "dd_exact",
+    "SELECT md5(text) AS h, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc "
+    "FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h",
+)
+def dd_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups (map-side combinable)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.expr("md5(text)").alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy("h")
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    f"""WITH {_SHINGLE_CTES},
+pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM pr JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
+ORDER BY a, b""",
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard >= 0.8. The pair join is on
+    shared shingles (inverted-index join), never a cross join — the
+    standard candidate-generation trick that scales to 100 TB because
+    only docs sharing a shingle ever meet in the shuffle."""
+    sh = _shingles_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("x"), sh.alias("y")
+    pr = (
+        a.join(b, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pr.join(ca, "a")
+        .join(cb, "b")
+        .filter(j >= 0.8)
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "dd_minhash_lsh",
+    f"""WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, h.range AS h, min(md5(h.range::VARCHAR || '|' || s)) AS sig
+         FROM sh CROSS JOIN range(8) h GROUP BY 1, 2),
+bands AS (SELECT doc_id, (h // 2) AS band, string_agg(sig, '' ORDER BY h) AS bucket
+          FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+pr AS (SELECT c.a, c.b, count(*) AS inter
+       FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+       GROUP BY 1, 2)
+SELECT pr.a, pr.b, round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM pr JOIN cnt ca ON ca.doc_id = pr.a JOIN cnt cb ON cb.doc_id = pr.b
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.5
+ORDER BY pr.a, pr.b""",
+)
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash (8 hashes, md5-keyed) -> 4 LSH bands of 2 -> bucket join ->
+    exact Jaccard verification >= 0.5. shingle->minhash->band->bucket-join
+    per the task spec; bucket join keeps candidate generation linear-ish
+    in duplicates rather than quadratic in corpus size."""
+    sh = _shingles_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hashes = spark.range(8).select(F.col("id").cast("int").alias("h"))
+    sigs = (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            "doc_id",
+            "h",
+            F.expr("md5(concat(cast(h AS STRING), '|', s))").alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("sig"))
+    )
+    bands = sigs.groupBy(
+        "doc_id", (F.col("h") / 2).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws('', transform(sort_array(collect_list(struct(h, sig))), x -> x.sig))"
+        ).alias("bucket")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    shx = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sx"))
+    shy = sh.select(F.col("doc_id").alias("b2"), F.col("s").alias("sy"))
+    pr = (
+        cand.join(shx, "a")
+        .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pr.join(ca, "a")
+        .join(cb, "b")
+        .filter(j >= 0.5)
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+_SIMHASH_SUMS_SQL = """sum(CASE WHEN substr(h, 1, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s0,
+         sum(CASE WHEN substr(h, 1, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s1,
+         sum(CASE WHEN substr(h, 1, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s2,
+         sum(CASE WHEN substr(h, 1, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s3,
+         sum(CASE WHEN substr(h, 2, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s4,
+         sum(CASE WHEN substr(h, 2, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s5,
+         sum(CASE WHEN substr(h, 2, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s6,
+         sum(CASE WHEN substr(h, 2, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s7,
+         sum(CASE WHEN substr(h, 3, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s8,
+         sum(CASE WHEN substr(h, 3, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s9,
+         sum(CASE WHEN substr(h, 3, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s10,
+         sum(CASE WHEN substr(h, 3, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s11,
+         sum(CASE WHEN substr(h, 4, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s12,
+         sum(CASE WHEN substr(h, 4, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s13,
+         sum(CASE WHEN substr(h, 4, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s14,
+         sum(CASE WHEN substr(h, 4, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s15,
+         sum(CASE WHEN substr(h, 5, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s16,
+         sum(CASE WHEN substr(h, 5, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s17,
+         sum(CASE WHEN substr(h, 5, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s18,
+         sum(CASE WHEN substr(h, 5, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s19,
+         sum(CASE WHEN substr(h, 6, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s20,
+         sum(CASE WHEN substr(h, 6, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s21,
+         sum(CASE WHEN substr(h, 6, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s22,
+         sum(CASE WHEN substr(h, 6, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s23,
+         sum(CASE WHEN substr(h, 7, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s24,
+         sum(CASE WHEN substr(h, 7, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s25,
+         sum(CASE WHEN substr(h, 7, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s26,
+         sum(CASE WHEN substr(h, 7, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s27,
+         sum(CASE WHEN substr(h, 8, 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1 ELSE -1 END) AS s28,
+         sum(CASE WHEN substr(h, 8, 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1 ELSE -1 END) AS s29,
+         sum(CASE WHEN substr(h, 8, 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s30,
+         sum(CASE WHEN substr(h, 8, 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1 ELSE -1 END) AS s31"""
+
+_SIMHASH_VALUE_SQL = "(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN s16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN s17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN s18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN s19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN s20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN s21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN s22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN s23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN s24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN s25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN s26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN s27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN s28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN s29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN s30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN s31 > 0 THEN 2147483648 ELSE 0 END)"
+
+
+@register(
+    "dd_simhash",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents),
+th AS (SELECT DISTINCT doc_id, md5(term) AS h FROM toks),
+sums AS (SELECT doc_id,
+         {{sums}}
+         FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, ({{val}})::BIGINT AS simhash FROM sums)
+SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+ORDER BY a, b""".format(sums=_SIMHASH_SUMS_SQL, val=_SIMHASH_VALUE_SQL),
+)
+def dd_simhash(spark, sf_dir):
+    """32-bit SimHash over distinct terms (md5 bit sampling), near-dup
+    pairs at Hamming distance <= 1. The bit arithmetic is portable
+    hex-char CASE logic so DuckDB verifies it exactly. At scale the
+    pair join would block on simhash bands (prefix buckets) instead of
+    the full self-join; the banding trick is demonstrated in
+    dd_minhash_lsh."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_df(d, "doc_id", "text").distinct()
+    th = toks.select(F.col("_doc").alias("doc_id"), F.expr("md5(term)").alias("h")).distinct()
+    # the same 32 sum-of-sign columns, via F.expr on the shared SQL fragments
+    sum_exprs = [F.expr(frag.strip().rstrip(",")) for frag in _SIMHASH_SUMS_SQL.split("\n")]
+    sums = th.groupBy("doc_id").agg(*sum_exprs)
+    sim = sums.select("doc_id", F.expr(_SIMHASH_VALUE_SQL).cast("long").alias("simhash"))
+    x, y = sim.alias("x"), sim.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(ham <= 1)
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+# ════════════════════════════════════════════ similarity search (ANN)
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def _dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _qvec_lit(spark, sf_dir, vec_id=0):
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return F.array(*[F.lit(float(v)) for v in row["embedding"]])
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id,
+       {_DOT_SQL.format(a='embedding', b='q.qe')}
+       / ({_NORM_SQL.format(a='embedding')} * {_NORM_SQL.format(a='q.qe')}) AS cos
+       FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cos FROM sc
+ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): JVM-side fold
+    over the embedding array — no Python, whole-stage codegen, embarrassingly
+    parallel scan + TakeOrderedAndProject."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    q = _qvec_lit(spark, sf_dir, 0)
+    cos = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * _norm_col(q))
+    return (
+        e.select("vec_id", F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""WITH h1 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 1),
+h2 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 2),
+h3 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 3),
+h4 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 4),
+b AS (SELECT vec_id, embedding,
+      (CASE WHEN {_DOT_SQL.format(a='embedding', b='h1.e')} >= 0 THEN '1' ELSE '0' END ||
+       CASE WHEN {_DOT_SQL.format(a='embedding', b='h2.e')} >= 0 THEN '1' ELSE '0' END ||
+       CASE WHEN {_DOT_SQL.format(a='embedding', b='h3.e')} >= 0 THEN '1' ELSE '0' END ||
+       CASE WHEN {_DOT_SQL.format(a='embedding', b='h4.e')} >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings CROSS JOIN h1 CROSS JOIN h2 CROSS JOIN h3 CROSS JOIN h4),
+q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+sc AS (SELECT vec_id,
+       {_DOT_SQL.format(a='embedding', b='q.qe')}
+       / ({_NORM_SQL.format(a='embedding')} * {_NORM_SQL.format(a='q.qe')}) AS cos
+       FROM b CROSS JOIN q WHERE b.bucket = q.qb AND vec_id <> 0)
+SELECT vec_id, round(cos, 6) AS cos FROM sc
+ORDER BY round(cos, 6) DESC, vec_id LIMIT 5""",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Random-hyperplane LSH: 4 sign bits -> bucket; brute-force cosine
+    only INSIDE the query's bucket (the scale path — the bucket join
+    replaces the full scan; buckets partition the corpus ~16-ways here,
+    more planes at real scale). Hyperplanes are data-derived (vec 1..4)
+    so the oracle can reference the identical planes."""
+    e = _emb(spark, sf_dir)
+    planes = [_qvec_lit(spark, sf_dir, i) for i in (1, 2, 3, 4)]
+    bucket = F.concat(
+        *[
+            F.when(_dot_col(F.col("embedding"), p) >= 0, "1").otherwise("0")
+            for p in planes
+        ]
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    qrow = b.filter(F.col("vec_id") == 0).select("bucket").collect()[0]
+    q = _qvec_lit(spark, sf_dir, 0)
+    cos = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * _norm_col(q))
+    return (
+        b.filter((F.col("bucket") == qrow["bucket"]) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "emb_near_dup",
+    f"""WITH sc AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+         / ({_NORM_SQL.format(a='x.embedding')} * {_NORM_SQL.format(a='y.embedding')}) AS cos
+  FROM embeddings x JOIN embeddings y
+    ON x.label = y.label AND x.vec_id < y.vec_id)
+SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.5 ORDER BY a, b""",
+)
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked on the label column so
+    the self-join is per-block (at 100 TB the block key would be an LSH
+    bucket as in ann_lsh_bucketed — never an unblocked cross join)."""
+    e = _emb(spark, sf_dir)
+    x = e.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    y = e.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    cos = _dot_col(F.col("ea"), F.col("eb")) / (_norm_col(F.col("ea")) * _norm_col(F.col("eb")))
+    return (
+        x.join(y, "l")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.5)
+        .orderBy("a", "b")
+    )
+
+
+# ═══════════════════════════════════════════════════════ text analysis
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "a", "is", "in", "to", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+}
+
+
+def _sw_count_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(l, t -> t IN ({inlist})))"
+
+
+def _sw_count_spark(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"size(filter(toks, t -> t IN ({inlist})))"
+
+
+_LANG_CASE = (
+    "CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en' "
+    "WHEN c_de >= c_fr AND c_de >= c_es THEN 'de' "
+    "WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END"
+)
+
+
+@register(
+    "tx_langid",
+    f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents),
+c AS (SELECT doc_id,
+      {_sw_count_sql('en')}::BIGINT AS c_en, {_sw_count_sql('de')}::BIGINT AS c_de,
+      {_sw_count_sql('fr')}::BIGINT AS c_fr, {_sw_count_sql('es')}::BIGINT AS c_es
+      FROM t)
+SELECT doc_id, c_en, c_de, c_fr, c_es, {_LANG_CASE} AS guess
+FROM c ORDER BY doc_id LIMIT 100""",
+)
+def tx_langid(spark, sf_dir):
+    """Language ID via stopword-hit argmax (n-gram heuristic class; the
+    priority CASE gives a deterministic tie rule)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").alias("toks"),
+    )
+    c = d.select(
+        "doc_id",
+        *[
+            F.expr(_sw_count_spark(lang)).cast("long").alias(f"c_{lang}")
+            for lang in ("en", "de", "fr", "es")
+        ],
+    )
+    return (
+        c.withColumn("guess", F.expr(_LANG_CASE))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "tx_quality",
+    """WITH t AS (
+  SELECT doc_id, n_chars, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+  FROM documents),
+m AS (SELECT doc_id,
+      len(l)::BIGINT AS n_words,
+      round(list_sum(list_transform(l, x -> strlen(x)::DOUBLE)) / len(l), 6) AS avg_word_len,
+      round(len(list_filter(l, x -> x IN ('the','of','and','a','is','in','to','it')))::DOUBLE / len(l), 6) AS stop_ratio,
+      round(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / n_chars, 6) AS alpha_ratio
+      FROM t WHERE len(l) > 0)
+SELECT doc_id, n_words, avg_word_len, stop_ratio, alpha_ratio,
+       round(0.4 * stop_ratio + 0.3 * least(n_words / 50.0, 1.0) + 0.3 * alpha_ratio, 6) AS quality
+FROM m ORDER BY quality DESC, doc_id LIMIT 20""",
+)
+def tx_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/alpha ratios (training-data
+    filtering heuristic)."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.round(
+            F.expr("aggregate(toks, CAST(0.0 AS DOUBLE), (acc, x) -> acc + length(x))")
+            / F.size("toks"),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.expr(_sw_count_spark("en")).cast("double") / F.size("toks"), 6
+        ).alias("stop_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+    return (
+        m.withColumn(
+            "quality",
+            F.round(
+                0.4 * F.col("stop_ratio")
+                + 0.3 * F.least(F.col("n_words") / 50.0, F.lit(1.0))
+                + 0.3 * F.col("alpha_ratio"),
+                6,
+            ),
+        )
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "tx_token_count",
+    r"""SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
+FROM documents ORDER BY doc_id LIMIT 100""",
+)
+def tx_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pieces (letters runs,
+    digit runs, isolated symbols)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(r"size(filter(split(text, '\\s+'), x -> x <> ''))")
+            .cast("long")
+            .alias("ws_tokens"),
+            F.expr(
+                r"size(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 0))"
+            )
+            .cast("long")
+            .alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "tx_fingerprint",
+    r"""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id LIMIT 100""",
+)
+def tx_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (rolling-hash class; md5 keeps it oracle-portable)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(r"md5(trim(regexp_replace(lower(text), '\\s+', ' ')))").alias("fp"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+# ═══════════════════════════════════ events / generic relational operators
+
+@register(
+    "ev_hourly_counts",
+    """SELECT (floor(epoch(ts))::BIGINT // 3600) AS hour_bucket, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def ev_hourly_counts(spark, sf_dir):
+    """Tumbling-window counts as batch SQL (streaming analog; epoch
+    bucketing keeps it timezone-proof across engines)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@register(
+    "ev_top_users",
+    """SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10""",
+)
+def ev_top_users(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (generic agg benchmark entry)."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_style",
+    """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def tpch_q3_style(spark, sf_dir):
+    """3-way join + agg + top-k; the dimension side (customer) broadcasts
+    — check .explain for BroadcastHashJoin."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ═══════════════════════════════════════════════════ multimodal plumbing
+
+@register(
+    "mm_binary_meta",
+    """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+       (64 + strlen(text) % 512)::BIGINT AS fake_w,
+       (64 + (strlen(text) * 7) % 512)::BIGINT AS fake_h
+FROM documents ORDER BY doc_id LIMIT 100""",
+)
+def mm_binary_meta(spark, sf_dir):
+    """Opaque-binary metadata extraction (multimodal plumbing demo: the
+    text column stands in for image bytes; real decode is a stubbed
+    mapInPandas in marlin_spark.multimodal — see tests)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            (64 + F.octet_length("text") % 512).cast("long").alias("fake_w"),
+            (64 + (F.octet_length("text") * 7) % 512).cast("long").alias("fake_h"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -94,7 +94,17 @@ class SearchEngine:
         return sorted({t for t, _ in analyze(q, self.cfg.analyzer, mode="search")})
 
     def _dictionary_lookup(self, terms: list[str], prefixes: list[str]) -> list[dict]:
-        """Partition-pruned + pushed-down dictionary scan."""
+        """Partition-pruned + pushed-down dictionary scan, with a
+        driver-side term->df cache (the reference keeps its whole trie
+        mmap'd; we memoize only the terms actually queried — bounded,
+        works at any dictionary size)."""
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        if not prefixes and terms and all(t in cache for t in terms):
+            return [
+                {"term": t, "df": cache[t]} for t in terms if cache[t] is not None
+            ]
         d = self.cat.read(self.spark, "dictionary")
         conds = []
         buckets = sorted(
@@ -113,7 +123,14 @@ class SearchEngine:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        return [r.asDict() for r in d.filter(cond).select("term", "df").collect()]
+        rows = [r.asDict() for r in d.filter(cond).select("term", "df").collect()]
+        found = {r["term"] for r in rows}
+        for r in rows:
+            cache[r["term"]] = r["df"]
+        for t in terms:
+            if t not in found:
+                cache[t] = None  # negative cache: unseen term
+        return rows
 
     def plan(self, q: str, k: int = 10, mode: str = "any", prefix_last: bool = False) -> QueryPlan:
         words = self.analyze_query(q)
@@ -278,13 +295,21 @@ class SearchEngine:
     # ------------------------------------------------- batched queries
     def search_many(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
         """Score MANY queries in one Spark job (throughput path for the
-        wrk-style benchmark set). Exact scoring; one postings scan over
-        the union of all query terms; per-query top-k via window."""
-        plans = {qid: self.plan(q, k, mode) for qid, q in queries.items()}
+        wrk-style benchmark set). ONE dictionary lookup for the union of
+        all query terms (not one driver job per query), one postings scan,
+        per-query top-k via window."""
+        per_q = {qid: self.analyze_query(q) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        df_map = {
+            r["term"]: r["df"] for r in self._dictionary_lookup(all_terms, [])
+        }
         rows = []
-        for qid, plan in plans.items():
-            for t, (idf, slot) in plan.term_meta.items():
-                rows.append((qid, t, float(idf), int(slot), int(plan.n_slots)))
+        for qid, terms in per_q.items():
+            for slot, t in enumerate(terms):
+                if t in df_map:
+                    rows.append(
+                        (qid, t, float(self.idf(df_map[t])), slot, len(terms))
+                    )
         if not rows:
             return self.spark.createDataFrame(
                 [], "query_id string, docid long, score double, rank int"
