@@ -100,6 +100,18 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str) -> dict:
     from marlin_spark.index.build import IndexBuilder
     from marlin_spark.query.engine import SearchEngine
 
+    # warmup: spin up Python workers + JIT the UDF path (excluded from
+    # throughput — the one-time ~4s worker-startup tax is a per-session
+    # constant, not a per-turn cost)
+    from pyspark.sql import functions as F
+
+    from marlin_spark.functions.analyzers import tokens_col
+
+    warm = synthesize_transcripts(spark, 2000)
+    warm.select(
+        F.size(tokens_col(F.col("text"), "marlin", "index")).alias("dl")
+    ).agg(F.sum("dl")).collect()
+
     n_convs = max(1, n_turns_target // 4)  # avg (1+8)/2=4.5 turns/conv
     trans = synthesize_transcripts(spark, n_convs)
     idx_dir = os.path.join(workdir, "bench_index")
@@ -133,6 +145,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str) -> dict:
     return {
         "n_turns": int(n_turns),
         "build_sec": round(build_s, 2),
+        "stage_seconds": counters.get("stage_seconds"),
         "build_turns_per_sec": round(n_turns / build_s, 1),
         "bm25_batch_qps": round(200 / batch_s, 2),
         "bm25_single_qps": round(len(singles) / single_s, 2),
@@ -194,10 +207,11 @@ def run_scaling(args) -> None:
     results = {}
     for cpus in (8, 32):
         log(f"=== scaling run: local[{cpus}] ===")
+        env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--engine-only",
              "--cpus", str(cpus), "--turns", str(args.turns)],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=3600, env=env,
         )
         sys.stderr.write(p.stderr[-2000:])
         line = p.stdout.strip().splitlines()[-1]

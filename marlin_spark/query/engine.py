@@ -283,6 +283,84 @@ class SearchEngine:
         )
         return self._rank(local, plan.k)
 
+    # ------------------------------------ marlin matching semantics
+    def match_marlin(self, q: str, prefix_last: bool = True) -> DataFrame:
+        """Match set per the reference term algebra: words w1..wn ->
+        terms [w1, w1w2, w2, w2w3, ..., wn] + full concatenation; doc
+        matches iff every word's (prev-concat | word | next-concat)
+        group hits, OR the concatenation hits; last generated term is a
+        prefix under PREFIX_LAST (term generation query.c:489-603,
+        combine squery.c:212-277). Mirrors OracleIndex.marlin_match."""
+        words = [
+            t for t, _ in analyze(q, self.cfg.analyzer, mode="search")
+        ]
+        if not words:
+            return self.cat.read(self.spark, "docs").select("docid")
+        if len(words) == 1:
+            return self._docids_for_terms([words[0]], prefix_last)
+        terms: list[str] = []
+        for i, w in enumerate(words):
+            terms.append(w)
+            if i + 1 < len(words):
+                terms.append(w + words[i + 1])
+        combined = "".join(words)
+        nterms = len(terms)
+        # group -> member terms (center word + neighbor concats)
+        groups: list[list[tuple[str, bool]]] = []
+        for i in range(len(words)):
+            center = 2 * i
+            g = []
+            for j in (center - 1, center, center + 1):
+                if 0 <= j < nterms:
+                    g.append((terms[j], prefix_last and j == nterms - 1))
+            groups.append(g)
+        parts = []
+        for gid, g in enumerate(groups):
+            exact = [t for t, p in g if not p]
+            pref = [t for t, p in g if p]
+            d = self._docids_for(exact, pref)
+            parts.append(d.withColumn("gid", F.lit(gid)))
+        allg = parts[0]
+        for p in parts[1:]:
+            allg = allg.unionByName(p)
+        anded = (
+            allg.distinct()
+            .groupBy("docid")
+            .agg(F.count("*").alias("ng"))
+            .filter(F.col("ng") >= len(groups))
+            .select("docid")
+        )
+        comb = self._docids_for_terms([combined], prefix_last)
+        return anded.unionByName(comb).distinct()
+
+    def _docids_for_terms(self, terms: list[str], prefix: bool) -> DataFrame:
+        if prefix:
+            return self._docids_for([], terms)
+        return self._docids_for(terms, [])
+
+    def _docids_for(self, exact: list[str], prefixes: list[str]) -> DataFrame:
+        """Distinct docids holding any of the terms / prefix expansions
+        (posting-list OR, reference squery.c:72-142)."""
+        rows = self._dictionary_lookup(exact, prefixes)
+        matched = [r["term"] for r in rows]
+        matched = [
+            t
+            for t in matched
+            if t in exact or any(t.startswith(p) for p in prefixes)
+        ]
+        if not matched:
+            return self.spark.createDataFrame([], "docid long")
+        posts = self.cat.read(self.spark, "postings")
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
+        )
+        blocks = posts.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(matched)
+        ).select("term", "postings")
+        return blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
+            "docid"
+        ).distinct()
+
     # ------------------------------------------------------- hydration
     def hydrate(self, hits: DataFrame) -> DataFrame:
         """Join top-k ids back to stored turns (broadcast the tiny side —

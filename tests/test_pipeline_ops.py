@@ -1,0 +1,187 @@
+"""First-class training-pipeline operators: dedup, ANN, text, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marlin_spark.operators import ann, dedup
+from marlin_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+        (4, "completely different text about spark and parquet files"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog today "),  # fp dup
+        (6, "unrelated short row"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    got = dedup.exact_duplicates(dup_docs).collect()
+    assert len(got) == 1 and got[0]["n"] == 2 and got[0]["first_id"] == 1
+
+
+def test_fingerprint_duplicates(dup_docs):
+    got = dedup.fingerprint_duplicates(dup_docs).collect()
+    # rows 1,2,5 share the normalized fingerprint
+    assert len(got) == 1 and got[0]["n"] == 3
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert not any(4 in p or 6 in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_dups(dup_docs):
+    got = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(dup_docs, threshold=0.9).collect()}
+    assert (1, 2) in got  # identical shingle sets share every band
+
+
+def test_dedup_keep_first(dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.9)
+    kept = dedup.dedup_keep_first(dup_docs, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(8)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], i % 4))
+    # plant a near-dup of vec 0
+    v0 = np.array(rows[0][1])
+    nd = v0 + 0.01 * rng.randn(8)
+    nd = nd / np.linalg.norm(nd)
+    rows.append((99, [float(x) for x in nd], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_finds_planted_neighbor(emb_df):
+    q = [r["embedding"] for r in emb_df.filter("vec_id = 0").collect()][0]
+    hits = ann.brute_force_topk(emb_df.filter("vec_id <> 0"), q, k=3).collect()
+    assert hits[0]["vec_id"] == 99 and hits[0]["cos"] > 0.99
+
+
+def test_lsh_topk_subset_of_bucket(emb_df):
+    rows = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+    planes = [rows[1], rows[2], rows[3]]
+    q = rows[0]
+    got = ann.lsh_topk(emb_df.filter("vec_id <> 0"), q, planes, k=5).collect()
+    # the planted near-dup shares the query's bucket with overwhelming odds
+    assert got and got[0]["vec_id"] == 99
+
+
+def test_near_dup_pairs_requires_blocking(emb_df):
+    with pytest.raises(ValueError):
+        ann.near_dup_pairs(emb_df, 0.9, block_col=None)
+    got = ann.near_dup_pairs(emb_df, 0.95, block_col="label").collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, 99)}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the hat and it is fine"), (2, "der hund und die katze ist ein tier")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        tx.langid_struct(F.col("text")).alias("l"),
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.whitespace_token_count(F.col("text")).alias("ws"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[1]["l"]["guess"] == "en" and byid[2]["l"]["guess"] == "de"
+    assert 0 < byid[1]["q"] <= 1.0
+    assert byid[1]["ws"] == 10 and byid[1]["bpe"] == 10
+    assert len(byid[1]["fp"]) == 32
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([(1, "  THE cat is in the HAT and it is fine ")], "doc_id long, text string")
+    fp2 = df2.select(tx.fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp2 == byid[1]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    from marlin_spark.multimodal import binary as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = mm.with_metadata(mm.wrap_text_as_media(docs))
+    rows = media.collect()
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    img = [r for r in rows if r["kind"] == "image"][0]
+    assert img["meta"]["width"] is not None and img["meta"]["n_bytes"] > 0
+    # metadata-only query must not read payload (column pruning)
+    meta_only = media.select("media_id", "meta.n_bytes")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[-1]
+
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feat"]) == 4 for r in feats)
+    # deterministic fake decode: same payload -> same features
+    f2 = mm.extract_features(media).collect()
+    assert {r["media_id"]: list(r["feat"]) for r in feats} == {
+        r["media_id"]: list(r["feat"]) for r in f2
+    }
+
+    frames = mm.frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", fake=False)
+
+
+def test_streaming_incremental_index(spark, tmp_path, tiny_index, tiny_oracle, tiny_rows):
+    """foreachBatch delta segment + compaction: streamed turns become
+    searchable and text round-trips exactly."""
+    import shutil
+
+    from marlin_spark.config import EngineConfig
+    from marlin_spark.query.engine import SearchEngine
+    from marlin_spark.streaming.incremental import IncrementalIndexer
+
+    base_dir, cfg, _ = tiny_index
+    d = str(tmp_path / "stream_idx")
+    shutil.copytree(base_dir, d)
+
+    new_rows = [
+        ("zconv-1", 0, "user", "freshly streamed marlinesque turn", None),
+        ("zconv-1", 1, "assistant", "another streamed turn about wand pruning", "search"),
+    ]
+    import datetime as dt
+
+    batch = spark.createDataFrame(
+        [r + (dt.datetime(2025, 1, 1),) for r in new_rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.process_batch(batch, 0)
+    inc.compact()
+
+    eng = SearchEngine(spark, d, cfg)
+    hits = eng.search("marlinesque", k=5, use_wand=False).collect()
+    assert len(hits) == 1
+    hyd = eng.hydrate(eng.search("marlinesque", k=5, use_wand=False)).collect()
+    assert hyd[0]["text"] == "freshly streamed marlinesque turn"
+    # base corpus still searchable and stats refreshed
+    assert eng.stats is not None
+    base_hits = eng.search("worst", k=5, use_wand=False).count()
+    assert base_hits >= 2
