@@ -43,6 +43,9 @@ def get_spark(
     if shuffle_partitions is None:
         n = int(master[master.find("[") + 1 : -1]) if "[" in master else cpus
         shuffle_partitions = max(8, 2 * (os.cpu_count() if "*" in master else n))
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS") or (
+        "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else None
+    )
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -54,6 +57,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        # shuffle/spill on tmpfs: models cluster-local NVMe; one shared
+        # VM disk would otherwise serialize every shuffle in local mode
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
