@@ -17,6 +17,10 @@ def ship_package(spark: SparkSession) -> str:
     import marlin_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(marlin_spark.__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running from a --py-files zip: workers get it from
+        # spark-submit, nothing to ship
+        return ""
     tmp = tempfile.mkdtemp(prefix="marlin_spark_ship_")
     zip_path = shutil.make_archive(
         os.path.join(tmp, "marlin_spark"), "zip", os.path.dirname(pkg_dir), "marlin_spark"
