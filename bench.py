@@ -141,11 +141,15 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     log(f"  build: {n_turns} turns in {build_s:.1f}s = {n_turns/build_s:.0f} turns/s")
 
     eng = SearchEngine(spark, idx_dir, cfg)
-    # batched throughput (200 queries, one job)
+    # batched throughput (200 queries, one job): block-max batched WAND
     qs = bench_queries(200)
     t0 = time.time()
-    n_hits = eng.search_many(qs, k=10).count()
+    n_hits = eng.search_many_wand(qs, k=10).count()
     batch_s = time.time() - t0
+    # exact-path comparison point (full scoring, big shuffle)
+    t0 = time.time()
+    eng.search_many(dict(list(qs.items())[:50]), k=10).count()
+    batch_exact_s = (time.time() - t0) * 4  # normalized to 200q
     # single-query latency (WAND path)
     singles = list(bench_queries(10, seed=11).values())
     t0 = time.time()
@@ -162,6 +166,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         "stage_seconds": counters.get("stage_seconds"),
         "build_turns_per_sec": round(n_turns / build_s, 1),
         "bm25_batch_qps": round(200 / batch_s, 2),
+        "bm25_batch_exact_qps": round(200 / batch_exact_s, 2),
         "bm25_single_qps": round(len(singles) / single_s, 2),
         "postings_emitted": counters.get("postings_emitted"),
         "blocks_built": counters.get("blocks_built"),
@@ -241,6 +246,11 @@ def run_scaling(args) -> None:
     results = {}
     for cpus in (8, 32):
         log(f"=== scaling run: local[{cpus}] pinned to {cpus} cores ===")
+        # identical page-cache state for both levels: pre-read the corpus
+        subprocess.run(
+            ["bash", "-c", f"cat {corpus_dir}/*.parquet > /dev/null"],
+            check=False,
+        )
         env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
         cmd = [sys.executable, os.path.abspath(__file__), "--engine-only",
                "--cpus", str(cpus), "--turns", str(args.turns),

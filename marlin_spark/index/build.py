@@ -185,13 +185,18 @@ class IndexBuilder:
         blocks = blocks.withColumn(
             "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
         )
-        # coalesce blocks per bucket before the partitioned write: blocks
-        # are ~100x smaller than the token stream, so this extra shuffle
-        # is cheap and turns tasks x buckets small files into ~1 file per
-        # bucket (bounded commit time, faster pruned reads)
-        blocks = blocks.repartition(max(1, len(buckets)), "bucket").sortWithinPartitions(
-            "term", "range_id", "block_id"
-        )
+        # coalesce blocks toward their bucket before the partitioned
+        # write: blocks are ~100x smaller than the token stream so the
+        # extra shuffle is cheap, and it bounds files-per-bucket.
+        # A plain repartition("bucket") stragglers on head-term buckets
+        # (Zipf: one bucket holds far more block bytes) — add a 4-way
+        # sub-bucket salt so the write stage drains evenly; files per
+        # bucket stay <= 4.
+        blocks = blocks.repartition(
+            max(1, 4 * len(buckets)),
+            "bucket",
+            F.pmod(F.col("range_id"), F.lit(4)),
+        ).sortWithinPartitions("term", "range_id", "block_id")
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             self.cat.write(blocks, "postings", partition_by=["bucket"], mode="overwrite")
         mf.mark_done(

@@ -371,6 +371,65 @@ class SearchEngine:
         )
 
     # ------------------------------------------------- batched queries
+    def search_many_wand(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
+        """Batched block-max WAND: one dictionary lookup + one pruned
+        postings scan for ALL queries; each block decoded once per range,
+        per-query theta pruning, per-partition top-k — avoids the exact
+        path's |candidates| x |queries| shuffle entirely."""
+        from marlin_spark.query.wand import make_batch_wand_scorer
+
+        per_q = {qid: self.analyze_query(q) for qid, q in queries.items()}
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        df_map = {
+            r["term"]: r["df"] for r in self._dictionary_lookup(all_terms, [])
+        }
+        metas: dict[str, dict] = {}
+        n_slots: dict[str, int] = {}
+        for qid, terms in per_q.items():
+            meta = {
+                t: (self.idf(df_map[t]), slot)
+                for slot, t in enumerate(terms)
+                if t in df_map
+            }
+            if meta:
+                metas[qid] = meta
+                n_slots[qid] = len(terms)
+        if not metas:
+            return self.spark.createDataFrame(
+                [], "query_id string, docid long, score double, rank int"
+            )
+        matched = sorted({t for m in metas.values() for t in m})
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
+        )
+        blocks = (
+            self.cat.read(self.spark, "postings")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(matched))
+            .select("term", "range_id", "block_id", "max_tfnorm", "postings")
+        )
+        n_part = max(
+            1,
+            min(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                (self.n_docs // self.cfg.range_size) + 1,
+            ),
+        )
+        scorer = make_batch_wand_scorer(
+            metas, n_slots, k, mode, self.cfg.k1, self.cfg.b, self.avgdl
+        )
+        local = blocks.repartition(n_part, "range_id").mapInPandas(
+            scorer, "query_id string, docid long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", 9)), F.asc("docid")
+        )
+        return (
+            local.withColumn("score", F.round("score", 9))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "docid", "score", "rank")
+        )
+
     def search_many(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
         """Score MANY queries in one Spark job (throughput path for the
         wrk-style benchmark set). ONE dictionary lookup for the union of

@@ -138,3 +138,165 @@ def make_wand_scorer(
         yield pd.DataFrame({"docid": top_d, "score": top_s})
 
     return scorer
+
+
+def make_batch_wand_scorer(
+    query_metas: dict[str, dict[str, tuple[float, int]]],
+    n_slots: dict[str, int],
+    k: int,
+    mode: str = "any",
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = 1.0,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Batched WAND: scores MANY queries in one pass over the matched
+    blocks of their term union. Each block is decoded ONCE per range;
+    every query referencing the term reuses the decoded arrays. Range-
+    level block-max pruning runs per query (each query carries its own
+    theta). Output: per-partition top-k per query — thousands of rows
+    instead of the exact path's |candidates| x |queries| shuffle.
+    """
+    norm_c = k1 * (1.0 - b)
+    norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
+    # term -> [(qid, idf, slot)]
+    by_term: dict[str, list] = {}
+    for qid, meta in query_metas.items():
+        for t, (idf, slot) in meta.items():
+            by_term.setdefault(t, []).append((qid, idf, slot))
+
+    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in batches if not pdf.empty]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="object"),
+                "docid": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if not rows:
+            yield empty
+            return
+        all_blocks = pd.concat(rows, ignore_index=True)
+        ranges: dict[int, list] = {}
+        for t in all_blocks.itertuples(index=False):
+            ranges.setdefault(t.range_id, []).append(t)
+
+        # per-range per-term upper bounds, then per-query range ubs
+        state = {
+            qid: {"d": np.empty(0, np.int64), "s": np.empty(0, np.float64),
+                  "theta": -np.inf}
+            for qid in query_metas
+        }
+        range_term_max: dict[int, dict[str, float]] = {}
+        for rid, blks in ranges.items():
+            m: dict[str, float] = {}
+            for blk in blks:
+                if blk.max_tfnorm > m.get(blk.term, -1.0):
+                    m[blk.term] = blk.max_tfnorm
+            range_term_max[rid] = m
+
+        # process ranges in descending total-ub order (thetas rise fast)
+        order = sorted(
+            ranges,
+            key=lambda rid: -sum(range_term_max[rid].values()),
+        )
+        for rid in order:
+            tmax = range_term_max[rid]
+            # which queries still need this range?
+            active = []
+            for qid, meta in query_metas.items():
+                st = state[qid]
+                ub = sum(
+                    idf * tmax[t]
+                    for t, (idf, _) in meta.items()
+                    if t in tmax
+                )
+                if ub <= 0:
+                    continue
+                if st["d"].size >= k and ub < st["theta"] - _EPS:
+                    continue
+                active.append(qid)
+            if not active:
+                continue
+            # decode each needed term once
+            needed = {
+                t
+                for qid in active
+                for t in query_metas[qid]
+                if t in tmax
+            }
+            decoded: dict[str, tuple] = {}
+            for blk in sorted(ranges[rid], key=lambda t: (t.term, t.block_id)):
+                if blk.term not in needed:
+                    continue
+                docids, tfs, dls = decode_block(blk.postings)
+                tfn = tfs.astype(np.float64)
+                core = tfn * (k1 + 1.0) / (
+                    tfn + norm_c + norm_s * dls.astype(np.float64)
+                )
+                if blk.term in decoded:
+                    d0, c0 = decoded[blk.term]
+                    decoded[blk.term] = (
+                        np.concatenate([d0, docids.astype(np.int64)]),
+                        np.concatenate([c0, core]),
+                    )
+                else:
+                    decoded[blk.term] = (docids.astype(np.int64), core)
+            for qid in active:
+                meta = query_metas[qid]
+                parts_d, parts_s, parts_slot = [], [], []
+                for t in sorted(meta):
+                    if t not in decoded:
+                        continue
+                    d, core = decoded[t]
+                    idf, slot = meta[t]
+                    parts_d.append(d)
+                    parts_s.append(idf * core)
+                    parts_slot.append(np.full(d.shape[0], slot, np.int64))
+                if not parts_d:
+                    continue
+                d = np.concatenate(parts_d)
+                s = np.concatenate(parts_s)
+                o = np.argsort(d, kind="stable")
+                d, s = d[o], s[o]
+                starts = np.flatnonzero(np.diff(d, prepend=-1))
+                scores = np.add.reduceat(s, starts)
+                u = d[starts]
+                ns = n_slots[qid]
+                if mode == "all" and ns > 0:
+                    slots = np.concatenate(parts_slot)[o]
+                    key = d * (ns + 1) + slots
+                    uniq = np.unique(key)
+                    cnt = np.bincount(
+                        np.searchsorted(u, uniq // (ns + 1)),
+                        minlength=u.shape[0],
+                    )
+                    keep = cnt >= ns
+                    u, scores = u[keep], scores[keep]
+                if u.size == 0:
+                    continue
+                st = state[qid]
+                st["d"] = np.concatenate([st["d"], u])
+                st["s"] = np.concatenate([st["s"], scores])
+                if st["d"].size > k:
+                    oo = np.lexsort((st["d"], -np.round(st["s"], 9)))[:k]
+                    st["d"], st["s"] = st["d"][oo], st["s"][oo]
+                if st["d"].size >= k:
+                    st["theta"] = st["s"].min()
+        out_q, out_d, out_s = [], [], []
+        for qid, st in state.items():
+            out_q.extend([qid] * st["d"].size)
+            out_d.append(st["d"])
+            out_s.append(st["s"])
+        if not out_q:
+            yield empty
+            return
+        yield pd.DataFrame(
+            {
+                "query_id": out_q,
+                "docid": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return scorer

@@ -101,3 +101,36 @@ def test_search_many_matches_single(engine, tiny_oracle):
             (i + 1, d, s) for i, (d, s) in enumerate(_oracle_ranks(tiny_oracle, q))
         ]
         assert sorted(got.get(qid, [])) == expect, qid
+
+
+def test_search_many_wand_matches_exact(engine, tiny_oracle):
+    qs = {
+        "q1": "test",
+        "q2": "worst best",
+        "q3": "aaaa bbbb cccc",
+        "q4": "this",
+        "q5": "zzznope",
+    }
+    wand = engine.search_many_wand(qs, k=10)
+    got = {}
+    for r in wand.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 6))
+        )
+    for qid, q in qs.items():
+        expect = [
+            (i + 1, d, s)
+            for i, (d, s) in enumerate(_oracle_ranks(tiny_oracle, q))
+        ]
+        assert sorted(got.get(qid, [])) == expect, qid
+
+
+def test_search_many_wand_mode_all(engine, tiny_oracle):
+    qs = {"a": "this best", "b": "aaaa bbbb"}
+    out = engine.search_many_wand(qs, k=10, mode="all")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["docid"], round(r["score"], 6)))
+    for qid, q in qs.items():
+        want = _oracle_ranks(tiny_oracle, q, mode="all")
+        assert sorted(got.get(qid, [])) == sorted(want), qid
