@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -360,6 +361,36 @@ class SearchEngine:
         return blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
             "docid"
         ).distinct()
+
+    # ---------------------------------------------- typo (fuzzy) match
+    def typo_match(self, q: str, prefix_last: bool = True) -> DataFrame:
+        """Damerau-Levenshtein fuzzy match set, reference semantics
+        (maxdist 0/1/2 by length, prefix subtree walk — see
+        oracle/typo.py; goldens from levenshtein.robot). The dictionary
+        scan pushes a length band down to parquet, then an Arrow-batched
+        UDF runs the banded OSA DP per candidate term — the distributed
+        analog of the reference's trie walk (dtrie.c:702-791)."""
+        from marlin_spark.oracle.typo import maxdist, term_matches
+
+        words = [t for t, _ in analyze(q, self.cfg.analyzer, mode="search")]
+        if not words:
+            return self.cat.read(self.spark, "docs").select("docid")
+        word = words[0]  # single-word fuzzy lookup, like lookup_typo
+        d = maxdist(len(word))
+        dic = self.cat.read(self.spark, "dictionary")
+        lo = max(1, len(word) - d)
+        cand = dic.filter(F.length("term") >= lo)
+        if not prefix_last:
+            cand = cand.filter(F.length("term") <= len(word) + d)
+
+        @F.pandas_udf("boolean")
+        def _matches(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: term_matches(word, t, prefix_last, d))
+
+        matched = [r["term"] for r in cand.filter(_matches(F.col("term"))).select("term").collect()]
+        if not matched:
+            return self.spark.createDataFrame([], "docid long")
+        return self._docids_for(matched, [])
 
     # ------------------------------------------------------- hydration
     def hydrate(self, hits: DataFrame) -> DataFrame:
