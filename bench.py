@@ -164,12 +164,20 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     t0 = time.time()
     eng.search_many(dict(list(qs.items())[:50]), k=10).count()
     batch_exact_s = (time.time() - t0) * 4  # normalized to 200q
-    # single-query latency (WAND path)
+    # single-query latency (distributed WAND path)
     singles = list(bench_queries(10, seed=11).values())
     t0 = time.time()
     for q in singles:
         eng.search(q, k=10, use_wand=True).collect()
     single_s = time.time() - t0
+    # single-query latency (driver-local fast path: pyarrow + numpy WAND,
+    # no Spark job — the reference-comparable ms-level path)
+    eng.search_local(singles[0], k=10)  # warm pyarrow dataset
+    t0 = time.time()
+    for q in singles * 5:
+        eng.search_local(q, k=10)
+    local_s = time.time() - t0
+    local_qps = len(singles) * 5 / local_s
     log(
         f"  query: batch 200q in {batch_s:.1f}s = {200/batch_s:.1f} q/s; "
         f"single {len(singles)}q in {single_s:.1f}s = {len(singles)/single_s:.2f} q/s"
@@ -182,6 +190,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         "bm25_batch_qps": round(200 / batch_s, 2),
         "bm25_batch_exact_qps": round(200 / batch_exact_s, 2),
         "bm25_single_qps": round(len(singles) / single_s, 2),
+        "bm25_local_qps": round(local_qps, 1),
         "postings_emitted": counters.get("postings_emitted"),
         "blocks_built": counters.get("blocks_built"),
         "bytes_postings": counters.get("bytes_postings"),

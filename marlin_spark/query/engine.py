@@ -44,6 +44,7 @@ class QueryPlan:
     mode: str = "any"
     k: int = 10
     match_all_docs: bool = False
+    total_df: int = 0  # sum of matched terms' dfs (fast-path gate)
 
 
 def _decode_blocks(batches):
@@ -158,6 +159,7 @@ class SearchEngine:
             else:
                 continue
             plan.term_meta[t] = (self.idf(r["df"]), slot)
+            plan.total_df += int(r["df"])
         plan.n_slots = len(words)
         return plan
 
@@ -187,6 +189,7 @@ class SearchEngine:
         prefix_last: bool = False,
         use_wand: bool = True,
         filter_cond=None,
+        local_threshold: int = 0,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(docid, score) ranked.
 
@@ -194,6 +197,14 @@ class SearchEngine:
         (role/tool/ts/...). Filters force the exact path — the filter is
         ANDed before ranking, like the reference
         (/root/reference/src/main/squery.c:377-395).
+
+        local_threshold: if > 0 and the total matched df is below it, the
+        query is answered ON THE DRIVER — a pyarrow partition-pruned read
+        of the matched blocks + the same numpy WAND scorer, zero Spark
+        jobs. This is the adaptive small-query fast path (the analog of
+        the reference's fullScanThreshold gate, index.h:24): single-digit
+        milliseconds instead of a cluster round-trip, while huge queries
+        still fan out. Rank-identical to the distributed paths.
         """
         plan = self.plan(q, k, mode, prefix_last)
         if plan.match_all_docs:
@@ -208,6 +219,8 @@ class SearchEngine:
             )
         if not plan.term_meta:
             return self.spark.createDataFrame([], "docid long, score double")
+        if filter_cond is None and 0 < plan.total_df <= local_threshold:
+            return self._search_local(plan)
         if use_wand and filter_cond is None:
             return self._search_wand(plan)
         return self._search_exact(plan, filter_cond)
@@ -361,6 +374,58 @@ class SearchEngine:
         return blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
             "docid"
         ).distinct()
+
+    # ------------------------------------------ driver-local fast path
+    def search_local(self, q: str, k: int = 10, mode: str = "any",
+                     prefix_last: bool = False) -> list[tuple[int, float]]:
+        """Answer a small query entirely on the driver (no Spark job):
+        pyarrow partition-pruned block read + the same numpy WAND scorer.
+        Returns [(docid, score)] ranked. Rank-identical to search()."""
+        plan = self.plan(q, k, mode, prefix_last)
+        if plan.match_all_docs or not plan.term_meta:
+            df = self.search(q, k, mode, prefix_last)
+            return [(r["docid"], r["score"]) for r in df.collect()]
+        return self._local_topk(plan)
+
+    def _local_topk(self, plan: QueryPlan) -> list[tuple[int, float]]:
+        import pyarrow.dataset as pads
+
+        from marlin_spark.query.wand import make_wand_scorer
+
+        terms = list(plan.term_meta)
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
+        )
+        dataset = pads.dataset(
+            self.cat.path("postings"), partitioning="hive", format="parquet"
+        )
+        tbl = dataset.to_table(
+            columns=["term", "range_id", "block_id", "max_tfnorm", "postings"],
+            filter=pads.field("bucket").isin(buckets)
+            & pads.field("term").isin(terms),
+        )
+        pdf = tbl.to_pandas()
+        scorer = make_wand_scorer(
+            plan.term_meta,
+            plan.k,
+            plan.n_slots,
+            plan.mode,
+            self.cfg.k1,
+            self.cfg.b,
+            self.avgdl,
+        )
+        out = next(scorer(iter([pdf])))
+        ranked = sorted(
+            zip(out["docid"], out["score"]),
+            key=lambda ds: (-round(float(ds[1]), 9), int(ds[0])),
+        )[: plan.k]
+        return [(int(d), float(s)) for d, s in ranked]
+
+    def _search_local(self, plan: QueryPlan) -> DataFrame:
+        rows = self._local_topk(plan)
+        return self.spark.createDataFrame(
+            [(d, float(round(s, 9))) for d, s in rows], "docid long, score double"
+        )
 
     # ---------------------------------------------- typo (fuzzy) match
     def typo_match(self, q: str, prefix_last: bool = True) -> DataFrame:

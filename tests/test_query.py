@@ -134,3 +134,40 @@ def test_search_many_wand_mode_all(engine, tiny_oracle):
     for qid, q in qs.items():
         want = _oracle_ranks(tiny_oracle, q, mode="all")
         assert sorted(got.get(qid, [])) == sorted(want), qid
+
+
+def test_local_fast_path_rank_identical(engine, tiny_oracle):
+    import time
+
+    for q in ["test", "worst best", "state-of-the-art", "this"]:
+        want = _oracle_ranks(tiny_oracle, q)
+        got = [
+            (d, round(s, 6)) for d, s in engine.search_local(q, k=10)
+        ]
+        assert got == want, q
+    # via search() with the adaptive threshold
+    for q in ["test", "aaaa bbbb"]:
+        got = _spark_ranks(engine, q)  # distributed
+        local = engine.search(q, k=10, local_threshold=10_000)
+        got_local = [(r["docid"], round(r["score"], 6)) for r in local.collect()]
+        assert got_local == got, q
+    # latency: driver-local answers are sub-50ms after warmup
+    engine.search_local("test", k=10)
+    t0 = time.time()
+    for _ in range(10):
+        engine.search_local("worst best", k=10)
+    per_q = (time.time() - t0) / 10
+    assert per_q < 0.25, per_q
+
+
+def test_local_fast_path_modes(engine, tiny_oracle):
+    got = [
+        (d, round(s, 6))
+        for d, s in engine.search_local("this best", k=10, mode="all")
+    ]
+    assert got == _oracle_ranks(tiny_oracle, "this best", mode="all")
+    got = [
+        (d, round(s, 6))
+        for d, s in engine.search_local("tes", k=10, prefix_last=True)
+    ]
+    assert got == _oracle_ranks(tiny_oracle, "tes", prefix=True)
