@@ -107,6 +107,22 @@ class SearchEngine:
             return [
                 {"term": t, "df": cache[t]} for t in terms if cache[t] is not None
             ]
+        if not prefixes and terms:
+            # exact-term lookups read the pruned dictionary parquet with
+            # pyarrow on the driver — no Spark job (the trie-in-mmap
+            # analog); prefix range scans still go through Spark
+            try:
+                rows = self._dictionary_lookup_arrow(terms)
+            except Exception:  # fall back to the Spark scan
+                rows = None
+            if rows is not None:
+                found = {r["term"] for r in rows}
+                for r in rows:
+                    cache[r["term"]] = r["df"]
+                for t in terms:
+                    if t not in found:
+                        cache[t] = None
+                return rows
         d = self.cat.read(self.spark, "dictionary")
         conds = []
         buckets = sorted(
@@ -133,6 +149,25 @@ class SearchEngine:
             if t not in found:
                 cache[t] = None  # negative cache: unseen term
         return rows
+
+    def _dictionary_lookup_arrow(self, terms: list[str]) -> list[dict]:
+        import pyarrow.dataset as pads
+
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
+        )
+        dataset = pads.dataset(
+            self.cat.path("dictionary"), partitioning="hive", format="parquet"
+        )
+        tbl = dataset.to_table(
+            columns=["term", "df"],
+            filter=pads.field("bucket").isin(buckets)
+            & pads.field("term").isin(terms),
+        )
+        return [
+            {"term": t, "df": int(d)}
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+        ]
 
     def plan(self, q: str, k: int = 10, mode: str = "any", prefix_last: bool = False) -> QueryPlan:
         words = self.analyze_query(q)
