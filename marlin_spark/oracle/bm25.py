@@ -184,3 +184,34 @@ def assign_docids(rows: Sequence[dict]) -> List[Tuple[int, str]]:
     """docid = 1-based rank of (conv_id, turn_idx); returns (docid, text)."""
     ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
     return [(i + 1, r["text"]) for i, r in enumerate(ordered)]
+
+
+def phrase_match_oracle(index: "OracleIndex", q: str) -> set:
+    """Exact phrase matching from positional postings: doc matches iff
+    the query words occur at consecutive positions in order. The
+    reference DECLARED a phrase index but never wrote it
+    (/root/reference/src/main/sindex.c:718-724 commented out); this
+    engine's posting layout stores positions precisely to enable it."""
+    from marlin_spark.oracle.tokenizer import analyze
+
+    words = [t for t, _ in analyze(q, index.analyzer, mode="search")]
+    if not words:
+        return set(index.dl)
+    first = index.postings.get(words[0], {})
+    out = set()
+    for docid, poss in first.items():
+        rest = []
+        ok_doc = True
+        for w in words[1:]:
+            plist = index.postings.get(w, {})
+            if docid not in plist:
+                ok_doc = False
+                break
+            rest.append(set(plist[docid]))
+        if not ok_doc:
+            continue
+        for p in poss:
+            if all((p + i + 1) in rest[i] for i in range(len(rest))):
+                out.add(docid)
+                break
+    return out

@@ -462,6 +462,76 @@ class SearchEngine:
             [(d, float(round(s, 9))) for d, s in rows], "docid long, score double"
         )
 
+    # ----------------------------------------------------- phrase match
+    def phrase_match(self, q: str) -> DataFrame:
+        """Exact phrase match from positional postings: doc matches iff
+        the query words appear at consecutive positions in order. This is
+        the consumer of the positions column (only phrase/proximity
+        queries ever read it — BM25 scans prune it away). The reference
+        declared a phrase index but never wrote it
+        (/root/reference/src/main/sindex.c:718-724); our standard
+        positional layout gets it for free. Mirrors
+        oracle.bm25.phrase_match_oracle."""
+        words = [t for t, _ in analyze(q, self.cfg.analyzer, mode="search")]
+        if not words:
+            return self.cat.read(self.spark, "docs").select("docid")
+        rows = self._dictionary_lookup(words, [])
+        found = {r["term"] for r in rows}
+        if not all(w in found for w in words):
+            return self.spark.createDataFrame([], "docid long")
+        buckets = sorted(
+            {term_bucket_py(t, self.cfg.n_term_buckets) for t in words}
+        )
+        blocks = self.cat.read(self.spark, "postings").filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(set(words)))
+        ).select("term", "range_id", "postings", "positions")
+
+        word_seq = list(words)
+
+        def matcher(batches):
+            import numpy as np
+            import pandas as pd
+
+            from marlin_spark.functions.codec import decode_block, decode_positions
+
+            # positions per (term, docid) within this doc-range partition
+            posmap: dict = {}
+            for pdf in batches:
+                for term, pb, xb in zip(pdf["term"], pdf["postings"], pdf["positions"]):
+                    docids, tfs, _ = decode_block(bytes(pb))
+                    poss = decode_positions(bytes(xb), tfs)
+                    off = 0
+                    for d, tf in zip(docids, tfs):
+                        key = (term, int(d))
+                        cur = posmap.setdefault(key, set())
+                        cur.update(int(p) for p in poss[off : off + int(tf)])
+                        off += int(tf)
+            first = word_seq[0]
+            out = []
+            for (term, d), poss in posmap.items():
+                if term != first:
+                    continue
+                rest = [posmap.get((w, d)) for w in word_seq[1:]]
+                if any(r is None for r in rest):
+                    continue
+                if any(
+                    all((p + i + 1) in rest[i] for i in range(len(rest)))
+                    for p in poss
+                ):
+                    out.append(d)
+            yield pd.DataFrame({"docid": pd.Series(sorted(out), dtype="int64")})
+
+        n_part = max(
+            1,
+            min(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                (self.n_docs // self.cfg.range_size) + 1,
+            ),
+        )
+        return blocks.repartition(n_part, "range_id").mapInPandas(
+            matcher, "docid long"
+        )
+
     # ---------------------------------------------- typo (fuzzy) match
     def typo_match(self, q: str, prefix_last: bool = True) -> DataFrame:
         """Damerau-Levenshtein fuzzy match set, reference semantics
