@@ -97,17 +97,21 @@ class OracleIndex:
         each dictionary expansion scores with its own idf and a doc's
         score counts each matched expansion once.
         """
-        terms = self.query_terms(q)
+        ordered = [t for t, _ in analyze(q, self.analyzer, mode="search")]
+        terms = sorted(set(ordered))
         if not terms:  # empty query = match all, score 0, docid order
             ids = sorted(self.dl)[:k]
             return [(d, 0.0) for d in ids]
         scoring_terms = list(terms)
         required = list(terms)
         if prefix_last:
-            last = terms[-1]
+            # prefix applies to the last word in QUERY order (reference:
+            # query.c generate_query_terms, i == num_words-1), NOT the
+            # alphabetically-last after sorting
+            last = ordered[-1]
             expanded = self.expand_prefix(last)
-            scoring_terms = sorted(set(terms[:-1]) | set(expanded))
-            required = terms[:-1] + [("PREFIX", last)]  # type: ignore
+            scoring_terms = sorted((set(terms) - {last}) | set(expanded))
+            required = [w for w in terms if w != last] + [("PREFIX", last)]  # type: ignore
 
         scores: Dict[int, float] = {}
         matched: Dict[int, set] = {}

@@ -170,27 +170,33 @@ class SearchEngine:
         ]
 
     def plan(self, q: str, k: int = 10, mode: str = "any", prefix_last: bool = False) -> QueryPlan:
-        words = self.analyze_query(q)
+        # the typed last word must be captured BEFORE sorting: PREFIX_LAST
+        # applies to the last word in QUERY order (reference: query.c
+        # generate_query_terms applies it at i == num_words-1), while the
+        # sorted list only fixes the float accumulation order
+        ordered = [t for t, _ in analyze(q, self.cfg.analyzer, mode="search")]
+        words = sorted(set(ordered))
         plan = QueryPlan(query=q, words=words, mode=mode, k=min(k, self.cfg.max_hits))
         if not words:
             plan.match_all_docs = True
             return plan
+        last_typed = ordered[-1]
         exact_terms = list(words)
         prefixes = []
         if prefix_last:
-            prefixes = [words[-1]]
-            exact_terms = words[:-1]
+            prefixes = [last_typed]
+            exact_terms = [w for w in words if w != last_typed]
         rows = self._dictionary_lookup(exact_terms or words, prefixes)
         slot_of_word = {w: i for i, w in enumerate(words)}
         for r in rows:
             t = r["term"]
-            if t in slot_of_word:
+            if t in slot_of_word and not (prefix_last and t == last_typed):
                 slot = slot_of_word[t]
-            elif prefix_last and t.startswith(words[-1]):
+            elif prefix_last and t.startswith(last_typed):
                 # prefix expansions share the source word's slot so that
                 # mode='all' treats "any expansion present" as satisfying
                 # the word (oracle: OracleIndex.search required handling)
-                slot = slot_of_word[words[-1]]
+                slot = slot_of_word[last_typed]
             else:
                 continue
             plan.term_meta[t] = (self.idf(r["df"]), slot)

@@ -57,12 +57,41 @@ def test_rank_identity_mode_all(engine, tiny_oracle, q):
         )
 
 
-@pytest.mark.parametrize("q", ["tes", "aaa", "stat", "th"])
+@pytest.mark.parametrize("q", ["tes", "aaa", "stat", "th", "worst tes", "this aaa"])
 def test_rank_identity_prefix_last(engine, tiny_oracle, q):
     for wand in (False, True):
         assert _spark_ranks(engine, q, prefix=True, wand=wand) == _oracle_ranks(
             tiny_oracle, q, prefix=True
         )
+
+
+def test_prefix_applies_to_typed_last_word(engine, tiny_oracle):
+    """PREFIX_LAST targets the last word in QUERY order even when it sorts
+    first alphabetically (reference: query.c generate_query_terms applies
+    the prefix at i == num_words-1, not after sorting)."""
+    # 'worst tes': typed-last 'tes' sorts before 'worst'. The expansion
+    # must cover tes* terms (test/tesg/testa/...) — under the old bug the
+    # prefix landed on 'worst' and every tes*-only doc was missed.
+    tes_docs = {
+        d
+        for t, plist in tiny_oracle.postings.items()
+        if t.startswith("tes")
+        for d in plist
+    }
+    worst_docs = set(tiny_oracle.postings.get("worst", {}))
+    want = tes_docs | worst_docs
+    got_oracle = {
+        d for d, _ in tiny_oracle.search("worst tes", k=10_000, prefix_last=True)
+    }
+    assert got_oracle == want
+    assert tes_docs - worst_docs  # the expansion really adds docs
+    got_spark = {
+        r["docid"]
+        for r in engine.search(
+            "worst tes", k=10_000, prefix_last=True, use_wand=False
+        ).collect()
+    }
+    assert got_spark == got_oracle
 
 
 def test_topk_sweep(engine, tiny_oracle):
