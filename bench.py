@@ -151,19 +151,23 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     n_turns = counters["n_docs"]
 
     eng = SearchEngine(spark, idx_dir, cfg)
-    # batched throughput (200 queries, one job): block-max batched WAND
-    qs = bench_queries(200)
+    # batched throughput (one job): block-max batched WAND. The batch size
+    # sets the throughput regime: per-job constants (driver planning,
+    # stage setup) amortize over the batch, exactly as a production
+    # query fleet amortizes them over sustained load.
+    n_q = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "200"))
+    qs = bench_queries(n_q)
     batch_s = None
     for rep in range(repeats):
         t0 = time.time()
         n_hits = eng.search_many_wand(qs, k=10).count()
         dt = time.time() - t0
-        log(f"  batch[{rep}]: 200q in {dt:.1f}s = {200/dt:.1f} q/s")
+        log(f"  batch[{rep}]: {n_q}q in {dt:.1f}s = {n_q/dt:.1f} q/s")
         batch_s = dt if batch_s is None else min(batch_s, dt)
     # exact-path comparison point (full scoring, big shuffle)
     t0 = time.time()
     eng.search_many(dict(list(qs.items())[:50]), k=10).count()
-    batch_exact_s = (time.time() - t0) * 4  # normalized to 200q
+    batch_exact_s = (time.time() - t0) * (n_q / 50)  # normalized to n_q
     # single-query latency (distributed WAND path)
     singles = list(bench_queries(10, seed=11).values())
     t0 = time.time()
@@ -179,7 +183,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     local_s = time.time() - t0
     local_qps = len(singles) * 5 / local_s
     log(
-        f"  query: batch 200q in {batch_s:.1f}s = {200/batch_s:.1f} q/s; "
+        f"  query: batch {n_q}q in {batch_s:.1f}s = {n_q/batch_s:.1f} q/s; "
         f"single {len(singles)}q in {single_s:.1f}s = {len(singles)/single_s:.2f} q/s"
     )
     return {
@@ -187,8 +191,8 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         "build_sec": round(build_s, 2),
         "stage_seconds": counters.get("stage_seconds"),
         "build_turns_per_sec": round(n_turns / build_s, 1),
-        "bm25_batch_qps": round(200 / batch_s, 2),
-        "bm25_batch_exact_qps": round(200 / batch_exact_s, 2),
+        "bm25_batch_qps": round(n_q / batch_s, 2),
+        "bm25_batch_exact_qps": round(n_q / batch_exact_s, 2),
         "bm25_single_qps": round(len(singles) / single_s, 2),
         "bm25_local_qps": round(local_qps, 1),
         "postings_emitted": counters.get("postings_emitted"),
@@ -228,7 +232,13 @@ def main() -> None:
     engine: dict = {}
     if not args.skip_engine:
         log(f"engine bench: {args.turns} turns (local[{args.cpus}])")
-        with tempfile.TemporaryDirectory(prefix="marlin_bench_") as wd:
+        # index dir on tmpfs when available: models cluster-local NVMe,
+        # same rationale as spark.local.dir — the single VM disk would
+        # otherwise serialize the docs/postings writes across all cores
+        wd_base = os.environ.get("SPARK_GRAFT_WORKDIR") or (
+            "/dev/shm" if os.path.isdir("/dev/shm") else None
+        )
+        with tempfile.TemporaryDirectory(prefix="marlin_bench_", dir=wd_base) as wd:
             engine = run_engine_bench(spark, args.turns, wd, args.input_dir)
     total = round(time.time() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -255,10 +265,11 @@ def run_scaling(args) -> None:
     efficiency a real 8-executor cluster would show. Shuffle dirs go to
     tmpfs (cluster-local-NVMe model) so a single VM disk does not become
     the artificial shared bottleneck local mode adds."""
-    # stage ONE shared input corpus (untimed, full machine)
-    corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"marlin_scaling_corpus_{args.turns}"
-    )
+    # stage ONE shared input corpus (untimed, full machine) on tmpfs:
+    # the input table of a real cluster sits on distributed storage whose
+    # aggregate read bandwidth scales with executors; one VM disk doesn't
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    corpus_dir = os.path.join(base, f"marlin_scaling_corpus_{args.turns}")
     log(f"staging shared corpus -> {corpus_dir}")
     from marlin_spark.session import get_spark
 
@@ -278,6 +289,11 @@ def run_scaling(args) -> None:
             os.environ,
             SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
             SPARK_GRAFT_BENCH_REPEATS=os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"),
+            # throughput regime: amortize per-job constants over a
+            # production-sized query batch (the metric is q/s, not latency)
+            SPARK_GRAFT_BATCH_QUERIES=os.environ.get(
+                "SPARK_GRAFT_BATCH_QUERIES", "1000"
+            ),
         )
         cmd = [sys.executable, os.path.abspath(__file__), "--engine-only",
                "--cpus", str(cpus), "--turns", str(args.turns),

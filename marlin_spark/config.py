@@ -35,11 +35,18 @@ class EngineConfig:
     # repartitioning the exploded token stream, so a single shuffle
     # partition never holds one head term's whole range set.
     shuffle_salt: int = 4
-    # Resumable build: term buckets are processed in this many checkpoint
-    # groups; a completed group is never re-done on restart.
+    # Resumable build: docids are processed in this many contiguous
+    # range-aligned checkpoint groups; a completed group is never re-done
+    # on restart (its postings/rgroup=K dir is final).
     build_groups: int = 1
     # Shuffle partitions for the build (None -> session default).
     build_partitions: int | None = None
+    # Zero-shuffle postings stage: scan split size (MB). Parallelism of
+    # stage B = docs bytes / this. Must be >= docs_row_group_mb.
+    build_scan_split_mb: int = 16
+    # Parquet row-group size (MB) for docs/ writes; the effective minimum
+    # split granularity of every later docs scan.
+    docs_row_group_mb: int = 16
 
     # --- query defaults (reference: src/main/index.h:16-24) ---
     hits_per_page: int = 20

@@ -665,10 +665,17 @@ ORDER BY a, b""".format(sums=_SIMHASH_SUMS_SQL, val=_SIMHASH_VALUE_SQL),
 def dd_simhash(spark, sf_dir):
     """32-bit SimHash over distinct terms (md5 bit sampling), near-dup
     pairs at Hamming distance <= 1. The bit arithmetic is portable
-    hex-char CASE logic so DuckDB verifies it exactly. At scale the
-    pair join would block on simhash bands (prefix buckets) instead of
-    the full self-join; the banding trick is demonstrated in
-    dd_minhash_lsh."""
+    hex-char CASE logic so DuckDB verifies it exactly.
+
+    The pair join is BANDED (4 bands of 8 simhash bits, equality hash
+    join): a Hamming<=1 pair agrees on >= 3 bands, so candidate
+    generation is exact with zero recall loss — and it is a shuffled
+    hash join on (band_idx, band_val), never a BroadcastNestedLoopJoin
+    over doc_id< (the round-1 plan, O(n^2) at scale). The DuckDB oracle
+    keeps the direct self-join form: same result set, and the oracle
+    only ever runs at verification scale."""
+    from marlin_spark.operators.dedup import banded_hamming_pairs
+
     d = _docs(spark, sf_dir)
     toks = tokens_df(d, "doc_id", "text").distinct()
     th = toks.select(F.col("_doc").alias("doc_id"), F.expr("md5(term)").alias("h")).distinct()
@@ -676,17 +683,8 @@ def dd_simhash(spark, sf_dir):
     sum_exprs = [F.expr(frag.strip().rstrip(",")) for frag in _SIMHASH_SUMS_SQL.split("\n")]
     sums = th.groupBy("doc_id").agg(*sum_exprs)
     sim = sums.select("doc_id", F.expr(_SIMHASH_VALUE_SQL).cast("long").alias("simhash"))
-    x, y = sim.alias("x"), sim.alias("y")
-    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-    return (
-        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
-        .filter(ham <= 1)
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            ham.cast("long").alias("hamming"),
-        )
-        .orderBy("a", "b")
+    return banded_hamming_pairs(sim, bits=32, n_bands=4, max_hamming=1).orderBy(
+        "a", "b"
     )
 
 

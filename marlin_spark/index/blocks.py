@@ -1,19 +1,24 @@
-"""Posting-block builder: mapInPandas over the sorted token stream.
+"""Posting-block builders (mapInPandas kernels of the index build).
 
-Input: partitions of (term, docid, pos, dl) rows sorted by
-(term, range_id, docid, pos), where range_id = docid // range_size and the
-shuffle key was (term, range_id) — so every (term, range) group lies whole
-inside one partition (possibly spanning Arrow batches, handled by
-carry-over). This is the explicit head-term-skew salt: a Zipf head term's
-postings split into n_docs/range_size independent groups instead of one
-hot reducer (north rule requirement; the reference has no analog — its
-single-writer design serializes instead, /root/reference/src/main/index.c:221-240).
+Two build paths share one block emitter:
 
-Each group is cut into blocks of <= block_size docs (never crossing the
-range boundary — the roaring-container echo, /root/reference/src/main/cont.h:8-14),
-delta+varbyte-compressed, and emitted with skip-pointer metadata
-(first/last docid) + block-max BM25 tf-norm (multiplied by idf at query
-time to give the block-max WAND upper bound).
+- make_doc_range_builder — the MAIN build path (zero-shuffle): runs
+  directly over the docs/ scan (docid, dl, text); each scan split
+  tokenizes its docs and assembles its (term, range_id) posting groups
+  locally, so the exploded token stream never touches the exchange.
+  Groups cut by split boundaries yield PARTIAL blocks; the block-merge
+  pass below folds them during the (already required) bucket-coalesce
+  shuffle of the ~100x-smaller compressed blocks.
+- make_block_builder — the token-shuffle path kept for streaming delta
+  segments: input partitions of (term, docid, pos, dl) rows sorted by
+  (term, range_id, docid, pos) where the shuffle key was (term, range_id).
+
+Each (term, range) group is cut into blocks of <= block_size docs (never
+crossing the range boundary — the roaring-container echo,
+/root/reference/src/main/cont.h:8-14), delta+varbyte-compressed, and
+emitted with skip-pointer metadata (first/last docid) + block-max BM25
+tf-norm (multiplied by idf at query time to give the block-max WAND
+upper bound).
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from marlin_spark.functions.codec import encode_block
+from marlin_spark.functions.codec import decode_block, decode_positions, encode_block
 
 BLOCK_SCHEMA = (
     "term string, range_id int, block_id int, first_docid long, "
@@ -37,47 +42,45 @@ _OUT_COLS = [
 ]
 
 
-def make_block_builder(
-    k1: float,
-    b: float,
-    avgdl: float,
-    block_size: int,
-    range_size: int,
-    counters: dict | None = None,
-) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """Returns a mapInPandas function. ``counters`` maps names to Spark
-    accumulators (postings_emitted, blocks_built, bytes_postings,
-    bytes_positions)."""
+def _make_emitter(
+    k1: float, b: float, avgdl: float, block_size: int, acc: dict
+) -> Callable:
+    """Doc-level (term, range) group -> block rows. ``acc`` keys are
+    optional so build and merge passes can count disjoint metrics."""
 
     norm_c = k1 * (1.0 - b)
     norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
-    acc = counters or {}
 
-    def _build_group(
+    def emit(
         term: str,
         range_id: int,
-        docids: np.ndarray,
+        u_docids: np.ndarray,
+        tfs: np.ndarray,
+        u_dls: np.ndarray,
         poss: np.ndarray,
-        dls: np.ndarray,
         out: list,
     ) -> None:
-        # rows are position-level; collapse to doc level
-        doc_start = np.flatnonzero(np.diff(docids, prepend=-1))
-        u_docids = docids[doc_start]
-        tfs = np.diff(np.append(doc_start, docids.shape[0]))
-        u_dls = dls[doc_start]
+        """u_docids strictly increasing; poss doc-major (tfs[i] positions
+        for doc i)."""
         n = u_docids.shape[0]
-        pos_starts = doc_start
-        pos_ends = np.append(doc_start[1:], docids.shape[0])
+        pos_bounds = np.concatenate(
+            ([0], np.cumsum(tfs.astype(np.int64)))
+        )
         for blk, s in enumerate(range(0, n, block_size)):
             e = min(s + block_size, n)
             d = u_docids[s:e].astype(np.uint64)
             t = tfs[s:e].astype(np.uint64)
             l = u_dls[s:e].astype(np.uint64)
-            p = poss[pos_starts[s]:pos_ends[e - 1]].astype(np.int64)
+            p = poss[pos_bounds[s]:pos_bounds[e]].astype(np.int64)
             pb, xb = encode_block(d, t, l, p)
             tfn = t.astype(np.float64)
             score_core = tfn * (k1 + 1.0) / (tfn + norm_c + norm_s * l.astype(np.float64))
+            if "blocks_built" in acc:
+                acc["blocks_built"].add(1)
+            if "bytes_postings" in acc:
+                acc["bytes_postings"].add(len(pb))
+            if "bytes_positions" in acc:
+                acc["bytes_positions"].add(len(xb))
             out.append(
                 (
                     term,
@@ -92,9 +95,52 @@ def make_block_builder(
                     xb,
                 )
             )
-        if acc:
-            acc["postings_emitted"].add(int(n))
-            acc["blocks_built"].add((n + block_size - 1) // block_size)
+
+    return emit
+
+
+def _make_group_builder(
+    k1: float, b: float, avgdl: float, block_size: int, acc: dict
+) -> Callable:
+    """Position-level (term, range) group -> block rows: collapses the
+    (docid, pos) stream to doc level, then emits blocks."""
+
+    emit = _make_emitter(k1, b, avgdl, block_size, acc)
+
+    def _build_group(
+        term: str,
+        range_id: int,
+        docids: np.ndarray,
+        poss: np.ndarray,
+        dls: np.ndarray,
+        out: list,
+    ) -> None:
+        doc_start = np.flatnonzero(np.diff(docids, prepend=-1))
+        u_docids = docids[doc_start]
+        tfs = np.diff(np.append(doc_start, docids.shape[0]))
+        u_dls = dls[doc_start]
+        if "postings_emitted" in acc:
+            acc["postings_emitted"].add(int(u_docids.shape[0]))
+        emit(term, range_id, u_docids, tfs, u_dls, poss, out)
+
+    return _build_group
+
+
+def make_block_builder(
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+    range_size: int,
+    counters: dict | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Returns a mapInPandas function over a (term, docid, pos, dl) token
+    stream shuffled by (term, range_id) — used by the streaming delta path.
+    ``counters`` maps names to Spark accumulators (postings_emitted,
+    blocks_built, bytes_postings, bytes_positions)."""
+
+    acc = counters or {}
+    _build_group = _make_group_builder(k1, b, avgdl, block_size, acc)
 
     def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -137,11 +183,7 @@ def make_block_builder(
                 )
             if not out:
                 return None
-            res = pd.DataFrame(out, columns=_OUT_COLS)
-            if acc:
-                acc["bytes_postings"].add(int(res["postings"].str.len().sum()))
-                acc["bytes_positions"].add(int(res["positions"].str.len().sum()))
-            return res
+            return pd.DataFrame(out, columns=_OUT_COLS)
 
         for pdf in batches:
             res = process(pdf, final=False)
@@ -154,3 +196,174 @@ def make_block_builder(
                 yield res
 
     return builder
+
+
+def make_doc_range_builder(
+    analyzer: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+    range_size: int,
+    counters: dict | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """ZERO-SHUFFLE postings builder: mapInPandas directly over the docs/
+    scan (docid, dl, text) — the main build path.
+
+    Every posting group keys on (term, range_id = docid // range_size),
+    and a scan split holds a contiguous slab of docids, so each split can
+    tokenize its docs and assemble its (term, range) groups entirely
+    locally: the exploded token stream (the ~30x-larger-than-text
+    intermediate that round 1 shuffled by (term, range_id)) never touches
+    the exchange. Head-term skew is structurally gone too: the unit of
+    parallelism is a doc slab, which is uniform by construction, instead
+    of a term's posting list.
+
+    Groups cut by split boundaries yield PARTIAL blocks for the same
+    (term, range_id) with disjoint docid slabs; make_block_merger folds
+    them into full blocks during the bucket-coalesce shuffle.
+    """
+    acc = counters or {}
+    build_group = _make_group_builder(k1, b, avgdl, block_size, acc)
+
+    def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marlin_spark.oracle.tokenizer import analyze
+
+        # accumulate the WHOLE partition before grouping: a partition may
+        # pack many small docs files (Arrow batch each); building per
+        # batch would fragment (term, range) groups into per-file partial
+        # blocks. Memory is bounded by the scan split size
+        # (build_scan_split_mb of text + ~10x that in token arrays).
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        toks = [
+            analyze(t, analyzer, "index") if t is not None else []
+            for t in pdf["text"]
+        ]
+        counts = np.fromiter(
+            (len(x) for x in toks), dtype=np.int64, count=len(toks)
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return
+        rep_doc = np.repeat(docids, counts)
+        rep_dl = np.repeat(dls, counts)
+        flat_terms = np.empty(total, dtype=object)
+        flat_pos = np.empty(total, dtype=np.int64)
+        i = 0
+        for tk in toks:
+            for term, pos in tk:
+                flat_terms[i] = term
+                flat_pos[i] = pos
+                i += 1
+        # integer term codes first: lexsort over ints, not strings
+        codes, uniq = pd.factorize(flat_terms)
+        rng = rep_doc // range_size
+        order = np.lexsort((flat_pos, rep_doc, codes, rng))
+        c = codes[order]
+        r = rng[order]
+        d = rep_doc[order]
+        p = flat_pos[order]
+        dl_o = rep_dl[order]
+        bounds = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1]))
+        starts = np.concatenate(([0], bounds + 1))
+        ends = np.concatenate((bounds + 1, [total]))
+        out: list = []
+        for s, e in zip(starts, ends):
+            build_group(uniq[c[s]], int(r[s]), d[s:e], p[s:e], dl_o[s:e], out)
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return builder
+
+
+def make_block_merger(
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+    counters: dict | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Folds the doc-range builder's partial blocks into full blocks.
+
+    Runs inside the bucket-coalesce shuffle (keyed by (bucket,
+    range_id%4), which co-locates every block of a (term, range) group —
+    bucket is a pure function of term). Partial blocks of one group cover
+    DISJOINT docid slabs, so ordering them by first_docid and
+    concatenating their decoded arrays reconstructs the full sorted
+    group; re-cutting yields blocks bit-identical to a single-pass build.
+    Input/output schema: BLOCK_SCHEMA + trailing bucket column.
+    """
+    acc = counters or {}
+    emit = _make_emitter(k1, b, avgdl, block_size, acc)
+
+    def merger(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        terms = pdf["term"].to_numpy()
+        rng = pdf["range_id"].to_numpy(dtype=np.int64)
+        first = pdf["first_docid"].to_numpy(dtype=np.int64)
+        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(terms)
+        order = np.lexsort((first, rng, codes))
+        c = codes[order]
+        r = rng[order]
+        bounds = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1]))
+        starts = np.concatenate(([0], bounds + 1))
+        ends = np.concatenate((bounds + 1, [len(pdf)]))
+        post_col = pdf["postings"].to_numpy()
+        posx_col = pdf["positions"].to_numpy()
+        out: list = []
+        out_buckets: list = []
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            if e - s == 1:
+                # single source block: already full, pass through untouched
+                i = rows[0]
+                t = pdf.iat[i, pdf.columns.get_loc("term")]
+                row = (
+                    t, int(rng[i]), int(pdf.iat[i, pdf.columns.get_loc("block_id")]),
+                    int(first[i]),
+                    int(pdf.iat[i, pdf.columns.get_loc("last_docid")]),
+                    int(pdf.iat[i, pdf.columns.get_loc("n_docs")]),
+                    int(pdf.iat[i, pdf.columns.get_loc("sum_tf")]),
+                    float(pdf.iat[i, pdf.columns.get_loc("max_tfnorm")]),
+                    post_col[i], posx_col[i],
+                )
+                if "blocks_built" in acc:
+                    acc["blocks_built"].add(1)
+                if "bytes_postings" in acc:
+                    acc["bytes_postings"].add(len(post_col[i]))
+                if "bytes_positions" in acc:
+                    acc["bytes_positions"].add(len(posx_col[i]))
+                out.append(row)
+                out_buckets.append(int(buckets[i]))
+                continue
+            d_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+            for i in rows:  # already ordered by first_docid (disjoint slabs)
+                dd, tt, ll = decode_block(bytes(post_col[i]))
+                pp = decode_positions(bytes(posx_col[i]), tt)
+                d_parts.append(dd)
+                tf_parts.append(tt)
+                dl_parts.append(ll)
+                pos_parts.append(pp)
+            emit(
+                uniq[c[s]],
+                int(r[s]),
+                np.concatenate(d_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(dl_parts),
+                np.concatenate(pos_parts).astype(np.int64),
+                out,
+            )
+            out_buckets.extend([int(buckets[rows[0]])] * (len(out) - len(out_buckets)))
+        res = pd.DataFrame(out, columns=_OUT_COLS)
+        res["bucket"] = pd.Series(out_buckets, dtype="int32")
+        yield res
+
+    return merger

@@ -9,11 +9,21 @@ Stages, each a resumable manifest unit:
                   [reference analog: sdata_add_documents + doc blob sizes,
                    /root/reference/src/main/sdata.c:162-181, sindex.c:66-97]
 
-  B "postings:gK" per term-bucket group: re-derive tokens from docs/,
-                  posexplode, shuffle by the SALTED key (term, range_id),
-                  sortWithinPartitions, mapInPandas block builder ->
+  B "postings:rK" per contiguous docid-range group: ZERO-SHUFFLE block
+                  build. mapInPandas directly over the docs/ scan
+                  (docid, dl, text): each split tokenizes its docs and
+                  assembles every (term, range_id) posting group locally
+                  (range_id = docid // range_size is a pure function of
+                  docid, so a doc slab owns its groups outright) ->
                   delta+varbyte blocks with skip pointers + block-max ->
-                  dynamic-partition-overwrite into postings/bucket=NN/.
+                  small block coalesce -> postings/rgroup=K/bucket=NN/.
+                  The round-1 design shuffled the exploded token stream
+                  (~30x the text bytes) by (term, range_id); that exchange
+                  was the measured non-scaling component on one box. Now
+                  the only exchange in stage B is the compressed blocks
+                  (~100x smaller than the tokens). Resume granularity is
+                  the docid-range group: its scan is parquet-min/max
+                  pruned and its output dir is overwritten idempotently.
                   [reference analog: string_new_word_pos + si_write_end
                    batch flush, /root/reference/src/main/sindex.c:658-726,184-254]
 
@@ -39,7 +49,11 @@ from pyspark.sql import functions as F
 
 from marlin_spark.config import EngineConfig
 from marlin_spark.functions.analyzers import tokens_col
-from marlin_spark.index.blocks import BLOCK_SCHEMA, make_block_builder
+from marlin_spark.index.blocks import (
+    BLOCK_SCHEMA,
+    make_block_merger,
+    make_doc_range_builder,
+)
 from marlin_spark.index.catalog import IndexCatalog, term_bucket_col
 from marlin_spark.index.manifest import BuildManifest
 from marlin_spark.operators.docids import with_dense_ids
@@ -66,12 +80,12 @@ class IndexBuilder:
         stats = self.cat.read_json("stats.json")
 
         t1 = time.time()
-        groups = self._bucket_groups()
-        for g, buckets in enumerate(groups):
-            unit = f"postings:g{g}"
+        groups = self._range_groups(stats["n_docs"])
+        for g, (lo, hi) in enumerate(groups):
+            unit = f"postings:r{g}"
             if resume and mf.is_done(unit):
                 continue
-            self._stage_postings(mf, unit, buckets, stats)
+            self._stage_postings(mf, unit, g, lo, hi, len(groups), stats)
         stage_secs["postings"] = round(time.time() - t1, 2)
 
         t2 = time.time()
@@ -102,8 +116,13 @@ class IndexBuilder:
         # docids are monotone within each written file (range-sorted
         # upstream), so parquet min/max stats give docid/range pruning for
         # free — no partitionBy needed (it would explode file count:
-        # tasks x ranges commits serially on the driver)
-        self.cat.write(docs, "docs")
+        # tasks x ranges commits serially on the driver).
+        # Small row groups are load-bearing: stage B's zero-shuffle scan
+        # parallelizes at row-group granularity (maxPartitionBytes can't
+        # split a row group), so the split width of the postings build is
+        # set HERE.
+        rg_bytes = str(self.cfg.docs_row_group_mb * 1024 * 1024)
+        self.cat.write(docs, "docs", options={"parquet.block.size": rg_bytes})
         docs.unpersist()  # release the with_dense_ids persist
         stored = self.cat.read(self.spark, "docs")
         row = stored.agg(
@@ -129,14 +148,33 @@ class IndexBuilder:
         mf.mark_done("docs", {"n_docs": int(row["n"]), "total_tokens": int(row["total"] or 0)})
 
     # ------------------------------------------------------------------
-    def _bucket_groups(self) -> list[list[int]]:
+    def _range_groups(self, n_docs: int) -> list[tuple[int, int]]:
+        """Split docids [1, n_docs] into build_groups contiguous slices
+        ALIGNED to range_size boundaries, so a (term, range_id) posting
+        group never spans two resume units. Returns inclusive docid
+        bounds per group."""
         g = max(1, self.cfg.build_groups)
-        return [
-            [b for b in range(self.cfg.n_term_buckets) if b % g == i]
-            for i in range(g)
-        ]
+        rs = self.cfg.range_size
+        n_ranges = n_docs // rs + 1
+        per = max(1, (n_ranges + g - 1) // g)
+        out = []
+        for i in range(g):
+            lo_r, hi_r = i * per, min((i + 1) * per, n_ranges)
+            if lo_r >= hi_r:
+                break
+            out.append((lo_r * rs, hi_r * rs - 1))
+        return out
 
-    def _stage_postings(self, mf: BuildManifest, unit: str, buckets: list[int], stats: dict) -> None:
+    def _stage_postings(
+        self,
+        mf: BuildManifest,
+        unit: str,
+        gid: int,
+        lo: int,
+        hi: int,
+        n_groups: int,
+        stats: dict,
+    ) -> None:
         cfg = self.cfg
         sc = self.spark.sparkContext
         acc = {
@@ -145,60 +183,49 @@ class IndexBuilder:
             "bytes_postings": sc.accumulator(0),
             "bytes_positions": sc.accumulator(0),
         }
-        n_shuffle = cfg.build_partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions")
+        docs = self.cat.read(self.spark, "docs").select("docid", "dl", "text")
+        if n_groups > 1:
+            # docs files are docid-range-sorted: parquet min/max stats
+            # prune this to the group's slab without reading other groups
+            docs = docs.filter((F.col("docid") >= lo) & (F.col("docid") <= hi))
+        builder = make_doc_range_builder(
+            cfg.analyzer, cfg.k1, cfg.b, stats["avgdl"],
+            cfg.block_size, cfg.range_size,
+            {"postings_emitted": acc["postings_emitted"]},
         )
-        # the docs read yields few, large parquet splits; the tokenizer is
-        # the CPU-heavy step and pipelines into the exchange write, so it
-        # would otherwise run at the file-split width — spread it first
-        docs = self.cat.read(self.spark, "docs").repartition(n_shuffle)
-        tok = (
-            docs.select(
-                "docid",
-                "dl",
-                F.explode(tokens_col(F.col("text"), cfg.analyzer, "index")).alias("t"),
+        merger = make_block_merger(
+            cfg.k1, cfg.b, stats["avgdl"], cfg.block_size,
+            {k: acc[k] for k in ("blocks_built", "bytes_postings", "bytes_positions")},
+        )
+        # parallelism of the zero-shuffle stage = scan splits; docs/ is
+        # written with small row groups (docs_row_group_mb) precisely so
+        # this split size is effective
+        split_bytes = str(cfg.build_scan_split_mb * 1024 * 1024)
+        with _conf(self.spark, "spark.sql.files.maxPartitionBytes", split_bytes):
+            raw = docs.mapInPandas(builder, BLOCK_SCHEMA)
+            raw = raw.withColumn(
+                "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
             )
-            .select(
-                F.col("t.term").alias("term"),
-                F.col("docid"),
-                F.col("t.pos").alias("pos"),
-                F.col("dl"),
+            # coalesce blocks toward their bucket AND fold split-boundary
+            # partial blocks in the same (cheap — blocks are ~100x smaller
+            # than the token stream) shuffle: the key (bucket, range%4)
+            # co-locates every block of a (term, range) group, so the
+            # merger re-cuts them into the blocks a single-pass build
+            # would emit. The 4-way sub-bucket salt keeps Zipf-head
+            # buckets from straggling the write stage; files per bucket
+            # stay <= 4 per group.
+            blocks = raw.repartition(
+                max(1, (4 * cfg.n_term_buckets) // n_groups),
+                "bucket",
+                F.pmod(F.col("range_id"), F.lit(4)),
+            ).mapInPandas(merger, BLOCK_SCHEMA + ", bucket int")
+            blocks = blocks.sortWithinPartitions("term", "range_id", "block_id")
+            # each group owns its rgroup=K dir: a retried group overwrites
+            # idempotently, completed groups are untouched (read-side hive
+            # discovery exposes rgroup as a partition column, harmless)
+            blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.cat.path(f"postings/rgroup={gid}")
             )
-        )
-        if len(buckets) < cfg.n_term_buckets:
-            tok = tok.filter(
-                term_bucket_col(F.col("term"), cfg.n_term_buckets).isin(buckets)
-            )
-        # SALTED shuffle: key is (term, range_id) so one head term fans out
-        # over n_docs/range_size reducers instead of one (north rule).
-        salted = (
-            tok.withColumn(
-                "range_id", (F.col("docid") / cfg.range_size).cast("int")
-            )
-            .repartition(n_shuffle, "term", "range_id")
-            .sortWithinPartitions("term", "docid", "pos")
-        )
-        builder = make_block_builder(
-            cfg.k1, cfg.b, stats["avgdl"], cfg.block_size, cfg.range_size, acc
-        )
-        blocks = salted.drop("range_id").mapInPandas(builder, BLOCK_SCHEMA)
-        blocks = blocks.withColumn(
-            "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
-        )
-        # coalesce blocks toward their bucket before the partitioned
-        # write: blocks are ~100x smaller than the token stream so the
-        # extra shuffle is cheap, and it bounds files-per-bucket.
-        # A plain repartition("bucket") stragglers on head-term buckets
-        # (Zipf: one bucket holds far more block bytes) — add a 4-way
-        # sub-bucket salt so the write stage drains evenly; files per
-        # bucket stay <= 4.
-        blocks = blocks.repartition(
-            max(1, 4 * len(buckets)),
-            "bucket",
-            F.pmod(F.col("range_id"), F.lit(4)),
-        ).sortWithinPartitions("term", "range_id", "block_id")
-        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            self.cat.write(blocks, "postings", partition_by=["bucket"], mode="overwrite")
         mf.mark_done(
             unit,
             {

@@ -51,10 +51,12 @@ class IndexCatalog:
 
     # --- tables ---
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
-              mode: str = "overwrite") -> None:
+              mode: str = "overwrite", options: dict | None = None) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         w.parquet(self.path(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:

@@ -146,6 +146,68 @@ def minhash_lsh_pairs(
     )
 
 
+def banded_hamming_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """All pairs (a, b, hamming) with Hamming(hash_a, hash_b) <= max_hamming,
+    via LSH banding on hash sub-strings — never an unblocked self-join.
+
+    With n_bands bands of bits/n_bands bits each, a pair within Hamming
+    distance d differs in at most d bands, so it AGREES on at least
+    n_bands - d bands; candidate generation on band equality is therefore
+    EXACT (no recall loss) whenever max_hamming < n_bands. The equality
+    join hashes on (band_idx, band_val): work is proportional to bucket
+    collisions, not corpus^2 — the same shape that lets dd_minhash_lsh
+    survive a 100x scale-up.
+    """
+    assert max_hamming < n_bands, "banding is only exact for d < n_bands"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    h = F.col(hash_col).cast("long")
+    bands = sim.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(h, band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("_id", "_h", F.col("bd.bi").alias("bi"), F.col("bd.bv").alias("bv"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("a"),
+            F.col("y._id").alias("b"),
+            F.col("x._h").alias("ha"),
+            F.col("y._h").alias("hb"),
+        )
+        .distinct()  # a close pair shares several bands; dedupe candidates
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= max_hamming).select(
+        "a", "b", ham.cast("long").alias("hamming")
+    )
+
+
 def dedup_keep_first(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -106,6 +106,8 @@ class IncrementalIndexer:
         if not delta_dirs:
             return
         base = self.cat.read(self.spark, "postings")
+        if "rgroup" in base.columns:  # build-time resume-group partition dirs
+            base = base.drop("rgroup")
         deltas = self.spark.read.parquet(*delta_dirs)
         merged = base.unionByName(deltas)
         self.cat.write(

@@ -84,3 +84,16 @@ def test_bm25_df_wholestage_codegen(spark):
     assert "MapInPandas" not in plan_str
     assert "BroadcastHashJoin" in plan_str
     assert "TakeOrderedAndProject" in plan_str
+
+
+def test_simhash_pair_join_is_banded_hash_join(spark):
+    """dd_simhash must candidate-generate via a band-equality hash join:
+    a BroadcastNestedLoopJoin / CartesianProduct over doc_id< is O(n^2)
+    and dead at scale (round-1 verdict item #2)."""
+    from marlin_spark.entry_queries import QUERIES
+
+    df = QUERIES["dd_simhash"](spark, "/root/testdata/sf0.001")
+    plan_str = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan_str
+    assert "CartesianProduct" not in plan_str
+    assert "Join" in plan_str  # there IS a join, and it's hash-based

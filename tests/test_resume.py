@@ -1,6 +1,14 @@
 """Resumable build: checkpoint skip, kill/restart equivalence, lineage
 (north rule: "resumable from per-partition checkpoints with lineage and
-counters"; SURVEY.md §7 Phase 4)."""
+counters"; SURVEY.md §7 Phase 4).
+
+Resume units are contiguous docid-range groups (postings:rK), each owning
+its postings/rgroup=K dir. Block BYTES may differ between groupings (scan
+split boundaries cut (term, range) groups into different partial blocks),
+so cross-grouping equality is checked at the decoded-posting level — the
+semantic content every query path consumes; same-grouping restart is
+still held to bit-identical fingerprints.
+"""
 
 import shutil
 
@@ -29,6 +37,27 @@ def _postings_fingerprint(spark, d):
     return h.hexdigest()
 
 
+def _decoded_fingerprint(spark, d):
+    """Grouping-invariant content hash: term -> docid -> (tf, dl, positions)."""
+    import hashlib
+
+    from marlin_spark.functions.codec import decode_block, decode_positions
+
+    entries = []
+    for r in IndexCatalog(d).read(spark, "postings").collect():
+        docids, tfs, dls = decode_block(bytes(r["postings"]))
+        poss = decode_positions(bytes(r["positions"]), tfs)
+        off = 0
+        for doc, tf, dl in zip(docids, tfs, dls):
+            p = tuple(int(x) for x in poss[off : off + int(tf)])
+            off += int(tf)
+            entries.append((r["term"], int(doc), int(tf), int(dl), p))
+    h = hashlib.sha256()
+    for it in sorted(entries):
+        h.update(repr(it).encode())
+    return h.hexdigest()
+
+
 @pytest.fixture(scope="module")
 def grouped_index(spark, tiny_df, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("grp_index"))
@@ -36,20 +65,18 @@ def grouped_index(spark, tiny_df, tmp_path_factory):
     return d
 
 
-def test_grouped_build_equals_single_pass(spark, tiny_df, tiny_index, grouped_index):
-    d1, _, _ = tiny_index
-    fp_grouped = _postings_fingerprint(spark, grouped_index)
-    # rebuild single-pass with the grouped cfg's layout for apples-to-apples
+def test_grouped_build_equals_single_pass(spark, tiny_df, grouped_index):
+    fp_grouped = _decoded_fingerprint(spark, grouped_index)
     d2 = grouped_index + "_single"
     IndexBuilder(spark, d2, CFG.with_(build_groups=1)).build(tiny_df, build_id="s0")
-    assert fp_grouped == _postings_fingerprint(spark, d2)
+    assert fp_grouped == _decoded_fingerprint(spark, d2)
 
 
 def test_resume_skips_completed_units(spark, tiny_df, grouped_index):
     mf = BuildManifest(grouped_index, "g0")
     units = {r["unit"] for r in mf.records()}
     assert {"docs", "dictionary"} <= units
-    assert {f"postings:g{i}" for i in range(4)} <= units
+    assert any(u.startswith("postings:r") for u in units)
     import time
 
     t0 = time.time()
@@ -66,15 +93,20 @@ def test_kill_restart_produces_identical_index(spark, tiny_df, grouped_index, ti
     mf = BuildManifest(crashed, "g0")
     import os
 
-    for unit in ("postings:g2", "postings:g3", "dictionary"):
+    survivors = {r["unit"] for r in mf.records() if r["unit"].startswith("postings:r")}
+    to_kill = sorted(survivors)[len(survivors) // 2 :]  # drop the tail groups
+    assert to_kill
+    for unit in list(to_kill) + ["dictionary"]:
         os.remove(mf._rec_path(unit))
-    # wipe the bucket dirs those groups own (simulates torn partial output;
-    # dynamic partition overwrite would also replace half-written ones)
+    # wipe the rgroup dirs those groups own (simulates torn partial
+    # output; the restarted group overwrites its dir idempotently)
     cat = IndexCatalog(crashed)
-    for b in range(CFG.n_term_buckets):
-        if b % 4 in (2, 3):
-            shutil.rmtree(cat.path(f"postings/bucket={b}"), ignore_errors=True)
+    for unit in to_kill:
+        gid = unit.split(":r")[1]
+        shutil.rmtree(cat.path(f"postings/rgroup={gid}"), ignore_errors=True)
+    spark.catalog.refreshByPath(cat.path("postings"))
     counters = IndexBuilder(spark, crashed, CFG).build(tiny_df, build_id="g0")
+    spark.catalog.refreshByPath(cat.path("postings"))
     assert _postings_fingerprint(spark, crashed) == fp_before
     # and the restarted index answers queries rank-identically
     eng = SearchEngine(spark, crashed, CFG)
