@@ -38,6 +38,10 @@ HEADLINE = [
     "ft_bm25_head_term",
     "ft_dictionary_head",
     "ft_filtered_bm25",
+    "ft_phrase_match",
+    "ft_marlin_match",
+    "ft_fuzzy_term",
+    "ft_highlight_counts",
     "tr_bm25_topk",
     "tr_conv_stats",
     "dd_exact",
@@ -146,6 +150,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
             f"  build[{rep}]: {c['n_docs']} turns in {dt:.1f}s = "
             f"{c['n_docs']/dt:.0f} turns/s {c['stage_seconds']}"
         )
+        log("    phase-ms: " + str({k: v for k, v in c.items() if k.startswith("ms_")}))
         if build_s is None or dt < build_s:
             build_s, counters = dt, c
     n_turns = counters["n_docs"]

@@ -47,12 +47,27 @@ class EngineConfig:
     # Parquet row-group size (MB) for docs/ writes; the effective minimum
     # split granularity of every later docs scan.
     docs_row_group_mb: int = 16
+    # Max rows per streaming micro-batch: the docid headroom reserved per
+    # batch_id by IncrementalIndexer (persisted in stats.json at build so
+    # every writer agrees; overflow fails loudly instead of colliding).
+    batch_capacity: int = 1_000_000
 
     # --- query defaults (reference: src/main/index.h:16-24) ---
     hits_per_page: int = 20
     max_hits: int = 1000
     max_facet_results: int = 10
     full_scan_threshold: int = 25000
+
+    # --- indexed fields ---
+    # Ordered list of document columns to index; a field's position in
+    # the list IS its ranking priority (0 = highest), packed into stored
+    # positions as (priority << 16) | pos — the reference's IDPRIORITY
+    # scheme (sindex.c:697-701, settings `indexedFields`). Consequences
+    # fall out of the packing: phrase adjacency never crosses fields,
+    # the rank cascade's `field` feature = best priority, and `position`
+    # = best in-field position. dl (BM25 length norm) counts tokens
+    # across all indexed fields.
+    indexed_fields: tuple = ("text",)
 
     # --- analyzer ---
     # "marlin": exact reimplementation of the reference default analyzer

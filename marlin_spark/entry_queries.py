@@ -342,6 +342,113 @@ def ft_cardinality(spark, sf_dir):
     )
 
 
+_POS_CTES = """toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS l
+  FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks)"""
+
+
+def _pos_df(spark, sf_dir):
+    """(doc_id, term, idx) with 1-based idx — Catalyst twin of _POS_CTES."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        ).alias("idx0", "term"),
+    ).select("doc_id", "term", (F.col("idx0") + 1).alias("idx"))
+
+
+@register(
+    "ft_phrase_match",
+    f"""WITH {_POS_CTES}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+WHERE a.term = 'table' AND b.term = 'hash' ORDER BY a.doc_id""",
+)
+def ft_phrase_match(spark, sf_dir):
+    """Exact phrase match "table hash" from token positions — the SQL
+    twin of SearchEngine.phrase_match (positional postings adjacency;
+    the reference declared but never wrote its phrase index,
+    /root/reference/src/main/sindex.c:718-724). Self-join on (doc,
+    idx+1): an equi-join on doc_id, never a cross join."""
+    pos = _pos_df(spark, sf_dir)
+    a = pos.filter(F.col("term") == "table").select("doc_id", "idx")
+    b = pos.filter(F.col("term") == "hash").select(
+        "doc_id", (F.col("idx") - 1).alias("idx")
+    )
+    return a.join(b, ["doc_id", "idx"]).select("doc_id").distinct().orderBy("doc_id")
+
+
+@register(
+    "ft_marlin_match",
+    f"""WITH {_POS_CTES},
+t AS (SELECT DISTINCT doc_id, term FROM pos),
+m1 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ('table', 'tablehash')),
+m2 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ('tablehash', 'hash')),
+comb AS (SELECT DISTINCT doc_id FROM t WHERE term = 'tablehash')
+SELECT doc_id FROM (
+  (SELECT doc_id FROM m1 INTERSECT SELECT doc_id FROM m2)
+  UNION SELECT doc_id FROM comb
+) ORDER BY doc_id""",
+)
+def ft_marlin_match(spark, sf_dir):
+    """The marlin term algebra for "table hash" in pure Catalyst: words
+    generate [w1, w1w2, w2]; doc matches iff (w1|w1w2) AND (w1w2|w2), OR
+    the concatenation w1w2 (term generation query.c:489-603, combine
+    squery.c:212-277). Engine twin: SearchEngine.match_marlin."""
+    t = _pos_df(spark, sf_dir).select("doc_id", "term").distinct()
+    m1 = t.filter(F.col("term").isin("table", "tablehash")).select("doc_id").distinct()
+    m2 = t.filter(F.col("term").isin("tablehash", "hash")).select("doc_id").distinct()
+    comb = t.filter(F.col("term") == "tablehash").select("doc_id").distinct()
+    return m1.intersect(m2).union(comb).distinct().orderBy("doc_id")
+
+
+@register(
+    "ft_fuzzy_term",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)
+SELECT term, df FROM d WHERE levenshtein(term, 'tible') <= 1 ORDER BY term""",
+)
+def ft_fuzzy_term(spark, sf_dir):
+    """Fuzzy dictionary expansion within Levenshtein distance 1 of the
+    typo 'tible' — JVM-side F.levenshtein over the derived dictionary
+    (both engines implement identical plain-Levenshtein, so this pins the
+    expansion exactly; the engine's full Damerau/OSA + prefix semantics
+    are pinned by levenshtein.robot goldens in tests/test_typo.py)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    d = toks.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    return (
+        d.filter(F.levenshtein(F.col("term"), F.lit("tible")) <= 1)
+        .select("term", "df")
+        .orderBy("term")
+    )
+
+
+@register(
+    "ft_highlight_counts",
+    f"""WITH {_POS_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_hits, min(idx)::BIGINT AS first_pos
+FROM pos WHERE term = 'data' GROUP BY doc_id
+ORDER BY n_hits DESC, doc_id LIMIT 20""",
+)
+def ft_highlight_counts(spark, sf_dir):
+    """Highlight support data: per-doc occurrence count + first position
+    of the query term (snippet anchor) — what query/highlight.py consumes
+    (reference emits <em> spans in form_result, query.c:385-401)."""
+    pos = _pos_df(spark, sf_dir)
+    return (
+        pos.filter(F.col("term") == "data")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("idx").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ═══════════════════════════════════════════════════ transcripts-shaped
 
 @register(
@@ -460,7 +567,14 @@ _SHINGLE_SPARK = (
     "ELSE CAST(array() AS array<string>) END"
 )
 
-_SHINGLE_CTES = """toks AS (
+# hot-shingle df cap (mirrored Spark/SQL): a shingle shared by more docs
+# than this carries no near-dup signal but makes the pair join quadratic
+# in its df — dropping it bounds every reducer (operators/dedup.py has
+# the configurable form + rationale). 1000 is far above any df at the
+# test scales, so results are unchanged there while the plan is skew-safe.
+_SHINGLE_MAX_DF = 1000
+
+_SHINGLE_CTES = f"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS l
   FROM documents),
 pos AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS idx FROM toks),
@@ -468,7 +582,9 @@ sh0 AS (SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS s
         FROM pos a
         JOIN pos b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
         JOIN pos c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2),
-sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+shall AS (SELECT DISTINCT doc_id, s FROM sh0),
+shkeep AS (SELECT s FROM shall GROUP BY s HAVING count(*) <= {_SHINGLE_MAX_DF}),
+sh AS (SELECT shall.doc_id, shall.s FROM shall JOIN shkeep USING (s)),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
 
 
@@ -480,10 +596,14 @@ def _shingles_df(spark, sf_dir):
             "toks"
         ),
     )
-    return (
+    sh = (
         toks.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("s"))
         .distinct()
     )
+    keep = (
+        sh.groupBy("s").count().filter(F.col("count") <= _SHINGLE_MAX_DF).select("s")
+    )
+    return sh.join(keep, "s").select("doc_id", "s")
 
 
 @register(

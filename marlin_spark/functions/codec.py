@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 
-_THRESH = [1 << (7 * k) for k in range(1, 9)]
+# 10 varbyte groups cover the full 64-bit range (9 groups stop at 2^63
+# and would silently truncate larger values)
+_THRESH = [1 << (7 * k) for k in range(1, 10)]
 
 
 def vb_encode(values: np.ndarray) -> bytes:
@@ -67,6 +69,8 @@ def encode_block(
     ``tfs[i]`` positions for doc i). Returns (postings_bytes, positions_bytes).
     """
     n = docids.shape[0]
+    if n == 0:
+        return vb_encode(np.zeros(1, dtype=np.uint64)), b""
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = docids[0]
     deltas[1:] = np.diff(docids.astype(np.uint64))

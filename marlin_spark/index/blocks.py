@@ -206,6 +206,7 @@ def make_doc_range_builder(
     block_size: int,
     range_size: int,
     counters: dict | None = None,
+    fields: list[str] | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """ZERO-SHUFFLE postings builder: mapInPandas directly over the docs/
     scan (docid, dl, text) — the main build path.
@@ -222,8 +223,14 @@ def make_doc_range_builder(
     Groups cut by split boundaries yield PARTIAL blocks for the same
     (term, range_id) with disjoint docid slabs; make_block_merger folds
     them into full blocks during the bucket-coalesce shuffle.
+
+    ``fields``: ordered indexed columns; field k's positions are packed
+    as (k << 16) | pos — the reference's IDPRIORITY scheme
+    (sindex.c:697-701) — so phrase adjacency stays in-field and the rank
+    cascade unpacks field/position from one min().
     """
     acc = counters or {}
+    fields = list(fields or ["text"])
     build_group = _make_group_builder(k1, b, avgdl, block_size, acc)
 
     def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,36 +241,60 @@ def make_doc_range_builder(
         # batch would fragment (term, range) groups into per-file partial
         # blocks. Memory is bounded by the scan split size
         # (build_scan_split_mb of text + ~10x that in token arrays).
+        import time as _time
+
+        def _lap(key, t0):
+            if key in acc:
+                acc[key].add(int((_time.time() - t0) * 1000))
+            return _time.time()
+
+        t = _time.time()
         parts = [pdf for pdf in batches if not pdf.empty]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        t = _lap("ms_read", t)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        toks = [
-            analyze(t, analyzer, "index") if t is not None else []
-            for t in pdf["text"]
-        ]
-        counts = np.fromiter(
-            (len(x) for x in toks), dtype=np.int64, count=len(toks)
-        )
-        total = int(counts.sum())
-        if total == 0:
+        f_doc, f_dl, f_terms, f_pos = [], [], [], []
+        for prio, fname in enumerate(fields):
+            offset = prio << 16
+            toks = [
+                analyze(t, analyzer, "index") if t is not None else []
+                for t in pdf[fname]
+            ]
+            counts = np.fromiter(
+                (len(x) for x in toks), dtype=np.int64, count=len(toks)
+            )
+            ftotal = int(counts.sum())
+            if ftotal == 0:
+                continue
+            t = _lap("ms_tokenize", t)
+            terms_arr = np.empty(ftotal, dtype=object)
+            pos_arr = np.empty(ftotal, dtype=np.int64)
+            i = 0
+            for tk in toks:
+                for term, pos in tk:
+                    terms_arr[i] = term
+                    pos_arr[i] = pos + offset
+                    i += 1
+            f_doc.append(np.repeat(docids, counts))
+            f_dl.append(np.repeat(dls, counts))
+            f_terms.append(terms_arr)
+            f_pos.append(pos_arr)
+            t = _lap("ms_flatten", t)
+        if not f_doc:
             return
-        rep_doc = np.repeat(docids, counts)
-        rep_dl = np.repeat(dls, counts)
-        flat_terms = np.empty(total, dtype=object)
-        flat_pos = np.empty(total, dtype=np.int64)
-        i = 0
-        for tk in toks:
-            for term, pos in tk:
-                flat_terms[i] = term
-                flat_pos[i] = pos
-                i += 1
+        rep_doc = np.concatenate(f_doc)
+        rep_dl = np.concatenate(f_dl)
+        flat_terms = np.concatenate(f_terms)
+        flat_pos = np.concatenate(f_pos)
+        total = rep_doc.size
         # integer term codes first: lexsort over ints, not strings
         codes, uniq = pd.factorize(flat_terms)
         rng = rep_doc // range_size
         order = np.lexsort((flat_pos, rep_doc, codes, rng))
+        t = _lap("ms_sort", t)
         c = codes[order]
         r = rng[order]
         d = rep_doc[order]
@@ -275,6 +306,7 @@ def make_doc_range_builder(
         out: list = []
         for s, e in zip(starts, ends):
             build_group(uniq[c[s]], int(r[s]), d[s:e], p[s:e], dl_o[s:e], out)
+        t = _lap("ms_emit", t)
         yield pd.DataFrame(out, columns=_OUT_COLS)
 
     return builder
@@ -301,6 +333,9 @@ def make_block_merger(
     emit = _make_emitter(k1, b, avgdl, block_size, acc)
 
     def merger(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        _t0 = _time.time()
         parts = [pdf for pdf in batches if not pdf.empty]
         if not parts:
             return
@@ -364,6 +399,92 @@ def make_block_merger(
             out_buckets.extend([int(buckets[rows[0]])] * (len(out) - len(out_buckets)))
         res = pd.DataFrame(out, columns=_OUT_COLS)
         res["bucket"] = pd.Series(out_buckets, dtype="int32")
+        if "ms_merge" in acc:
+            acc["ms_merge"].add(int((_time.time() - _t0) * 1000))
         yield res
 
     return merger
+
+
+def make_compaction_rewriter(
+    k1: float,
+    b: float,
+    new_avgdl: float,
+    block_size: int,
+    deleted: np.ndarray | None = None,
+    counters: dict | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Compaction kernel: rewrites EVERY (term, range) group — merging
+    base + delta-segment blocks, dropping tombstoned docids, and
+    recomputing max_tfnorm with the POST-compaction avgdl.
+
+    The avgdl recompute is correctness-critical, not cosmetic: block-max
+    WAND treats max_tfnorm as an upper bound of tf/(tf + k1(1-b) +
+    k1*b*dl/avgdl) under the avgdl the QUERY uses. Compaction refreshes
+    stats.json's avgdl; if avgdl shrinks (deletes, shorter new docs), a
+    stale stored max computed under the old avgdl UNDERSTATES the bound
+    and WAND would skip ranges that hold true top-k docs.
+
+    ``deleted``: sorted int64 docid tombstones, captured in the closure.
+    At 10^12-doc scale the tombstone set between compactions is bounded
+    by ingest batch size; were it ever huge, the same kernel runs after a
+    docid-range co-partitioned join instead of a broadcast closure.
+    Input: BLOCK_SCHEMA rows repartitioned by a key that co-locates each
+    (term, range) group (e.g. (bucket, range_id%4)). Output: BLOCK_SCHEMA.
+    """
+    acc = counters or {}
+    emit = _make_emitter(k1, b, new_avgdl, block_size, acc)
+
+    def rewriter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        terms = pdf["term"].to_numpy()
+        rng = pdf["range_id"].to_numpy(dtype=np.int64)
+        first = pdf["first_docid"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(terms)
+        order = np.lexsort((first, rng, codes))
+        c = codes[order]
+        r = rng[order]
+        bounds = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1]))
+        starts = np.concatenate(([0], bounds + 1))
+        ends = np.concatenate((bounds + 1, [len(pdf)]))
+        post_col = pdf["postings"].to_numpy()
+        posx_col = pdf["positions"].to_numpy()
+        out: list = []
+        for s, e in zip(starts, ends):
+            d_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+            for i in order[s:e]:  # ordered by first_docid (disjoint slabs)
+                dd, tt, ll = decode_block(bytes(post_col[i]))
+                pp = decode_positions(bytes(posx_col[i]), tt)
+                if deleted is not None and deleted.size and dd.size:
+                    d64 = dd.astype(np.int64)
+                    idx = np.searchsorted(deleted, d64)
+                    idx[idx >= deleted.size] = deleted.size - 1
+                    keep = deleted[idx] != d64
+                    if not keep.all():
+                        pos_keep = np.repeat(keep, tt.astype(np.int64))
+                        dd, tt, ll = dd[keep], tt[keep], ll[keep]
+                        pp = pp[pos_keep]
+                if dd.size == 0:
+                    continue
+                d_parts.append(dd)
+                tf_parts.append(tt)
+                dl_parts.append(ll)
+                pos_parts.append(pp)
+            if not d_parts:
+                continue
+            emit(
+                uniq[c[s]],
+                int(r[s]),
+                np.concatenate(d_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(dl_parts),
+                np.concatenate(pos_parts).astype(np.int64),
+                out,
+            )
+        if out:
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return rewriter

@@ -107,9 +107,16 @@ class IndexBuilder:
         src = self._transcripts
         docs = with_dense_ids(src, ["conv_id", "turn_idx"], "docid",
                               num_partitions=cfg.build_partitions)
+        # dl counts tokens across ALL indexed fields (multi-field: the
+        # reference walks every indexedFields entry, sindex.c:792-893)
+        dl_col = None
+        for fname in cfg.indexed_fields:
+            s = F.when(F.col(fname).isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col(F.col(fname), cfg.analyzer, "index"))
+            )
+            dl_col = s if dl_col is None else dl_col + s
         docs = (
-            docs.withColumn("_toks", tokens_col(F.col("text"), cfg.analyzer, "index"))
-            .withColumn("dl", F.size("_toks"))
+            docs.withColumn("dl", dl_col)
             .withColumn("range_id", (F.col("docid") / cfg.range_size).cast("int"))
             .select(*DOC_COLS, "range_id")
         )
@@ -142,6 +149,8 @@ class IndexBuilder:
                 "block_size": self.cfg.block_size,
                 "range_size": self.cfg.range_size,
                 "n_term_buckets": self.cfg.n_term_buckets,
+                "batch_capacity": self.cfg.batch_capacity,
+                "max_docid": int(row["n"]),
                 "build_id": mf.build_id,
             },
         )
@@ -183,7 +192,14 @@ class IndexBuilder:
             "bytes_postings": sc.accumulator(0),
             "bytes_positions": sc.accumulator(0),
         }
-        docs = self.cat.read(self.spark, "docs").select("docid", "dl", "text")
+        # per-phase wall-ms summed across tasks (scaling diagnostics)
+        timing = {
+            k: sc.accumulator(0)
+            for k in ("ms_read", "ms_tokenize", "ms_flatten", "ms_sort",
+                      "ms_emit", "ms_merge")
+        }
+        fields = list(cfg.indexed_fields)
+        docs = self.cat.read(self.spark, "docs").select("docid", "dl", *fields)
         if n_groups > 1:
             # docs files are docid-range-sorted: parquet min/max stats
             # prune this to the group's slab without reading other groups
@@ -191,11 +207,15 @@ class IndexBuilder:
         builder = make_doc_range_builder(
             cfg.analyzer, cfg.k1, cfg.b, stats["avgdl"],
             cfg.block_size, cfg.range_size,
-            {"postings_emitted": acc["postings_emitted"]},
+            {"postings_emitted": acc["postings_emitted"], **timing},
+            fields=fields,
         )
         merger = make_block_merger(
             cfg.k1, cfg.b, stats["avgdl"], cfg.block_size,
-            {k: acc[k] for k in ("blocks_built", "bytes_postings", "bytes_positions")},
+            {
+                **{k: acc[k] for k in ("blocks_built", "bytes_postings", "bytes_positions")},
+                "ms_merge": timing["ms_merge"],
+            },
         )
         # parallelism of the zero-shuffle stage = scan splits; docs/ is
         # written with small row groups (docs_row_group_mb) precisely so
@@ -233,6 +253,7 @@ class IndexBuilder:
                 "blocks_built": acc["blocks_built"].value,
                 "bytes_postings": acc["bytes_postings"].value,
                 "bytes_positions": acc["bytes_positions"].value,
+                **{k: v.value for k, v in timing.items()},
             },
         )
 

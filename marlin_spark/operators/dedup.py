@@ -21,14 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None = None
+) -> DataFrame:
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')").alias(
             "toks"
         ),
     )
-    return toks.select(
+    sh = toks.select(
         "_id",
         F.explode(
             F.expr(
@@ -39,6 +41,17 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             )
         ).alias("s"),
     ).distinct()
+    if max_df is not None:
+        # HOT-SHINGLE CAP: a shingle shared by >max_df docs contributes a
+        # quadratic (df^2) reducer to the pair join — one viral shingle
+        # ("of the and", boilerplate headers) kills the stage at scale.
+        # Dropping it bounds every reducer at max_df^2. Recall impact:
+        # pairs are then measured on the surviving shingle sets; a shingle
+        # this common carries ~zero near-dup signal (it distinguishes
+        # nothing), the standard trade in web-scale dedup pipelines.
+        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        sh = sh.join(keep, "s")
+    return sh
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -65,9 +78,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Pairs (a, b, jaccard) with word-n-gram Jaccard >= threshold."""
-    sh = _shingles(docs, id_col, text_col, n)
+    """Pairs (a, b, jaccard) with word-n-gram Jaccard >= threshold.
+    max_shingle_df caps hot shingles before the self-join (see _shingles);
+    None disables the cap (exact, but unsafe on skewed corpora)."""
+    sh = _shingles(docs, id_col, text_col, n, max_df=max_shingle_df)
     cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     pr = (
@@ -93,13 +109,15 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verified Jaccard.
 
     With r = band_size, b = n_hashes/r bands, the S-curve threshold is
-    ~(1/b)^(1/r); tune n_hashes/band_size to the target threshold."""
+    ~(1/b)^(1/r); tune n_hashes/band_size to the target threshold.
+    max_shingle_df caps hot shingles (see _shingles)."""
     spark = docs.sparkSession
-    sh = _shingles(docs, id_col, text_col, shingle_n)
+    sh = _shingles(docs, id_col, text_col, shingle_n, max_df=max_shingle_df)
     cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
     hashes = spark.range(n_hashes).select(F.col("id").cast("int").alias("h"))
     sigs = (

@@ -36,6 +36,20 @@ from marlin_spark.functions.codec import decode_block
 _EPS = 1e-9
 
 
+def _mask_deleted(docids: np.ndarray, deleted: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask for docids not in the sorted tombstone array
+    (None when nothing is deleted — avoids the copy on the common path)."""
+    if deleted is None or deleted.size == 0 or docids.size == 0:
+        return None
+    docids = docids.astype(np.int64, copy=False)  # decode yields uint64
+    idx = np.searchsorted(deleted, docids)
+    idx[idx >= deleted.size] = deleted.size - 1
+    hit = deleted[idx] == docids
+    if not hit.any():
+        return None
+    return ~hit
+
+
 def make_wand_scorer(
     term_meta: dict[str, tuple[float, int]],
     k: int,
@@ -45,10 +59,14 @@ def make_wand_scorer(
     b: float = 0.75,
     avgdl: float = 1.0,
     counters: dict | None = None,
+    deleted: "np.ndarray | None" = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """term_meta: term -> (idf, slot). Slots group prefix expansions with
     their source word for conjunctive (mode='all') matching; n_slots is
-    the number of required slots."""
+    the number of required slots. ``deleted``: sorted int64 tombstone
+    docids, masked out right after block decode so a deleted doc can
+    neither score nor occupy a top-k slot (block-max values stay valid
+    upper bounds — they bound a superset)."""
 
     norm_c = k1 * (1.0 - b)
     norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
@@ -93,6 +111,11 @@ def make_wand_scorer(
             d_parts, s_parts, slot_parts = [], [], []
             for blk in blks:
                 docids, tfs, dls = decode_block(blk.postings)
+                keep = _mask_deleted(docids, deleted)
+                if keep is not None:
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                    if docids.size == 0:
+                        continue
                 tfn = tfs.astype(np.float64)
                 score = term_meta[blk.term][0] * tfn * (k1 + 1.0) / (
                     tfn + norm_c + norm_s * dls.astype(np.float64)
@@ -102,6 +125,8 @@ def make_wand_scorer(
                 slot_parts.append(
                     np.full(docids.shape[0], term_meta[blk.term][1], dtype=np.int64)
                 )
+            if not d_parts:  # every posting in the range was tombstoned
+                continue
             d = np.concatenate(d_parts)
             s = np.concatenate(s_parts)
             order = np.argsort(d, kind="stable")
@@ -148,6 +173,7 @@ def make_batch_wand_scorer(
     k1: float = 1.2,
     b: float = 0.75,
     avgdl: float = 1.0,
+    deleted: "np.ndarray | None" = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Batched WAND: scores MANY queries in one pass over the matched
     blocks of their term union. Each block is decoded ONCE per range;
@@ -230,6 +256,11 @@ def make_batch_wand_scorer(
                 if blk.term not in needed:
                     continue
                 docids, tfs, dls = decode_block(blk.postings)
+                keep = _mask_deleted(docids, deleted)
+                if keep is not None:
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                    if docids.size == 0:
+                        continue
                 tfn = tfs.astype(np.float64)
                 core = tfn * (k1 + 1.0) / (
                     tfn + norm_c + norm_s * dls.astype(np.float64)

@@ -1,23 +1,36 @@
-"""Incremental index maintenance via Structured Streaming foreachBatch.
+"""Incremental index maintenance: streaming adds, CRUD delete/update,
+compaction.
 
-The reference has no streaming; its closest analog is the serial
-single-writer job queue for add/update/delete
-(/root/reference/src/main/index.c:186-248). Here the same single-writer
-invariant maps to Structured Streaming's exactly-once foreachBatch: each
-micro-batch of new turns is tokenized and appended as a DELTA SEGMENT
-(same block layout, tagged with the batch id); queries merge base +
-delta postings transparently because blocks are independent rows. A
-periodic compaction job (merge_segments) folds deltas back into the base
-— the Lucene segment-merge pattern, which is also what an Iceberg
-MERGE INTO would do on a real lakehouse.
+The reference serializes add/update/delete through a single-writer job
+queue (/root/reference/src/main/index.c:186-248; delete
+index.c:1037-1070 -> sindex_delete_document sindex.c:1057-1099; replace
+index.c:965-1034). Here the same single-writer invariant maps to
+Structured Streaming's exactly-once foreachBatch plus an explicit
+maintenance API:
+
+- ADD: each micro-batch of new turns is tokenized and appended as a
+  DELTA SEGMENT (same block layout, tagged with the batch id). Queries
+  see deltas immediately: SearchEngine._postings_df()/_docs_df() union
+  postings_delta/ and docs_delta/ into every scan. NRT caveats (stats
+  refreshed at compaction; brand-new terms invisible until the
+  dictionary rebuild) are documented on those helpers.
+- DELETE: tombstone docids appended to tombstones/ (query-time
+  anti-join / numpy mask inside WAND), folded at compaction — the
+  Lucene liveDocs pattern.
+- UPDATE/REPLACE: delete + add, like the reference.
+- COMPACT: folds delta segments AND tombstones into the base in one
+  rewrite (segment merge; what an Iceberg MERGE INTO + snapshot expire
+  would do on a real lakehouse), then rebuilds the dictionary and
+  collection stats. Every (term, range) group's max_tfnorm is recomputed
+  under the POST-compaction avgdl — see make_compaction_rewriter for why
+  stale block-max values would break WAND's upper-bound contract.
 
 Limitations kept honest:
 - docids for streamed turns continue AFTER the base build's max docid in
   arrival order (per-batch rank over (conv_id, turn_idx)); global
   rank-stability across restarts comes from the checkpoint.
-- df/avgdl statistics are refreshed at compaction, not per micro-batch
-  (scoring between compactions uses base stats — standard practice;
-  noted in stats.json as stats_epoch).
+- a long-lived SearchEngine must call refresh() after compact()/deletes
+  (its df cache and stats snapshot are epoch-keyed at construction).
 """
 
 from __future__ import annotations
@@ -27,8 +40,17 @@ from pyspark.sql import functions as F
 
 from marlin_spark.config import EngineConfig
 from marlin_spark.functions.analyzers import tokens_col
-from marlin_spark.index.blocks import BLOCK_SCHEMA, make_block_builder
+from marlin_spark.index.blocks import (
+    BLOCK_SCHEMA,
+    make_block_builder,
+    make_compaction_rewriter,
+)
 from marlin_spark.index.catalog import IndexCatalog, term_bucket_col
+
+_POSTING_COLS = [
+    "term", "range_id", "block_id", "first_docid", "last_docid",
+    "n_docs", "sum_tf", "max_tfnorm", "postings", "positions", "bucket",
+]
 
 
 class IncrementalIndexer:
@@ -38,7 +60,7 @@ class IncrementalIndexer:
         self.cfg = config or EngineConfig()
         self.stats = self.cat.read_json("stats.json")
 
-    # ------------------------------------------------------------------
+    # ------------------------------------------------------------- add
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: append one delta segment of posting blocks.
 
@@ -47,26 +69,51 @@ class IncrementalIndexer:
         one-LMDB-txn-per-batch (si_write_end)."""
         cfg = self.cfg
         base = int(self.stats.get("max_docid", self.stats["n_docs"]))
-        offset = base + int(batch_id) * int(self.stats.get("batch_capacity", 1_000_000))
+        capacity = int(self.stats.get("batch_capacity", cfg.batch_capacity))
+        n_rows = batch_df.count()
+        if n_rows > capacity:
+            # fail loudly: a silent overflow would assign docids that
+            # collide with the next batch's range
+            raise ValueError(
+                f"micro-batch {batch_id} has {n_rows} rows > batch_capacity "
+                f"{capacity}; raise EngineConfig.batch_capacity (and rebuild "
+                "stats.json) or split the batch"
+            )
+        offset = base + int(batch_id) * capacity
         w_cols = ["conv_id", "turn_idx"]
         # per-batch deterministic docids after the base corpus
         from pyspark.sql import Window
 
         w = Window.orderBy(*w_cols)
+        dl_col = None
+        for fname in cfg.indexed_fields:
+            s = F.when(F.col(fname).isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col(F.col(fname), cfg.analyzer, "index"))
+            )
+            dl_col = s if dl_col is None else dl_col + s
         docs = (
             batch_df.withColumn(
                 "docid", (F.row_number().over(w) + offset).cast("long")
             )
-            .withColumn("_toks", tokens_col(F.col("text"), cfg.analyzer, "index"))
-            .withColumn("dl", F.size("_toks"))
+            .withColumn("dl", dl_col)
         )
-        tok = docs.select(
-            "docid",
-            "dl",
-            F.explode("_toks").alias("t"),
-        ).select(
-            F.col("t.term").alias("term"), "docid", F.col("t.pos").alias("pos"), "dl"
-        )
+        # positions packed (field_priority << 16) | pos, like the build
+        tok_parts = []
+        for prio, fname in enumerate(cfg.indexed_fields):
+            t = docs.select(
+                "docid",
+                "dl",
+                F.explode(tokens_col(F.col(fname), cfg.analyzer, "index")).alias("t"),
+            ).select(
+                F.col("t.term").alias("term"),
+                "docid",
+                (F.col("t.pos") + F.lit(prio << 16)).alias("pos"),
+                "dl",
+            )
+            tok_parts.append(t)
+        tok = tok_parts[0]
+        for t in tok_parts[1:]:
+            tok = tok.unionByName(t)
         builder = make_block_builder(
             cfg.k1, cfg.b, self.stats["avgdl"], cfg.block_size, cfg.range_size
         )
@@ -95,65 +142,178 @@ class IncrementalIndexer:
             .start()
         )
 
+    # ---------------------------------------------------------- delete
+    def delete_docids(self, docids) -> None:
+        """Tombstone docids (reference: index_delete_document_callback,
+        /root/reference/src/main/index.c:1037-1070). Queries constructed
+        by a SearchEngine built (or refresh()ed) after this call exclude
+        them; compact() folds them out of docs/ and postings/."""
+        if isinstance(docids, DataFrame):
+            df = docids.select(F.col(docids.columns[0]).cast("long").alias("docid"))
+        else:
+            df = self.spark.createDataFrame(
+                [(int(d),) for d in docids], "docid long"
+            )
+        df.write.mode("append").parquet(self.cat.path("tombstones"))
+
+    def delete_turns(self, keys) -> None:
+        """Delete by natural key (conv_id, turn_idx) — the reference's
+        external-id delete (sindex.c:1057-1099 via the id mapping).
+        Resolves docids over base + uncompacted delta docs."""
+        if not isinstance(keys, DataFrame):
+            keys = self.spark.createDataFrame(
+                [(str(c), int(t)) for c, t in keys], "conv_id string, turn_idx long"
+            )
+        keys = keys.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+        )
+        docs = self._all_docs().select(
+            "docid",
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+        )
+        ids = docs.join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi")
+        self.delete_docids(ids.select("docid"))
+
+    def update_turns(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Replace turns by natural key: delete + add, exactly the
+        reference's replace path (index.c:965-1034)."""
+        self.delete_turns(batch_df.select("conv_id", "turn_idx"))
+        self.process_batch(batch_df, batch_id)
+
+    # ------------------------------------------------------------------
+    def _all_docs(self) -> DataFrame:
+        import glob
+
+        base = self.cat.read(self.spark, "docs")
+        deltas = sorted(glob.glob(self.cat.path("docs_delta/batch=*")))
+        if deltas:
+            dd = self.spark.read.parquet(*deltas).withColumn(
+                "range_id", (F.col("docid") / self.cfg.range_size).cast("int")
+            )
+            base = base.unionByName(
+                dd.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in base.schema.fields
+                    ]
+                )
+            )
+        return base
+
+    def _tombstones(self):
+        """Sorted int64 tombstone array, or None."""
+        import numpy as np
+
+        if not self.cat.exists("tombstones"):
+            return None
+        import pyarrow.dataset as pads
+
+        arr = np.unique(
+            pads.dataset(self.cat.path("tombstones"), format="parquet")
+            .to_table(columns=["docid"])["docid"]
+            .to_numpy()
+        ).astype(np.int64)
+        return arr if arr.size else None
+
     # ------------------------------------------------------------------
     def compact(self) -> None:
-        """Fold delta segments into base postings + refresh stats
-        (segment merge; Iceberg MERGE INTO analog)."""
+        """Fold delta segments + tombstones into the base and refresh
+        dictionary/stats (segment merge; Iceberg MERGE INTO analog)."""
         import glob
         import shutil
 
         delta_dirs = sorted(glob.glob(self.cat.path("postings_delta/batch=*")))
-        if not delta_dirs:
-            return
-        base = self.cat.read(self.spark, "postings")
-        if "rgroup" in base.columns:  # build-time resume-group partition dirs
-            base = base.drop("rgroup")
-        deltas = self.spark.read.parquet(*delta_dirs)
-        merged = base.unionByName(deltas)
-        self.cat.write(
-            merged, "postings_merged", partition_by=["bucket"], mode="overwrite"
-        )
-        # atomic-ish swap (an Iceberg snapshot commit in production)
-        shutil.rmtree(self.cat.path("postings"))
-        shutil.move(self.cat.path("postings_merged"), self.cat.path("postings"))
-        # Spark caches file listings per path for the whole session; the
-        # swapped directory MUST be refreshed or later reads (incl. the
-        # dictionary rebuild below) silently see the old snapshot
-        self.spark.catalog.refreshByPath(self.cat.path("postings"))
         doc_deltas = sorted(glob.glob(self.cat.path("docs_delta/batch=*")))
+        tomb = self._tombstones()
+        if not delta_dirs and not doc_deltas and tomb is None:
+            return
+
+        # ---- 1. docs: base + deltas - tombstones -> docs_merged -> swap
+        docs = self.cat.read(self.spark, "docs")
+        base_schema = docs.schema
         if doc_deltas:
             dd = self.spark.read.parquet(*doc_deltas).withColumn(
-                "range_id",
-                (F.col("docid") / self.cfg.range_size).cast("int"),
+                "range_id", (F.col("docid") / self.cfg.range_size).cast("int")
             )
-            # docs/ is a flat (unpartitioned) layout — the appended delta
-            # must match its schema EXACTLY (column set, order, AND types:
-            # mixed int32/int64 parquet files fail on read)
-            base_schema = self.cat.read(self.spark, "docs").schema
-            dd.select(
+            # delta columns must match the base EXACTLY (set, order AND
+            # types: mixed int32/int64 parquet files fail on read)
+            dd = dd.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
                     for f in base_schema.fields
                 ]
-            ).write.mode("append").parquet(self.cat.path("docs"))
-            self.spark.catalog.refreshByPath(self.cat.path("docs"))
-        for d in delta_dirs + doc_deltas:
-            shutil.rmtree(d)
-        # refresh the dictionary (df/cf/term ids over merged postings)
-        from marlin_spark.index.build import build_dictionary
+            )
+            docs = docs.unionByName(dd)
+        if tomb is not None:
+            tomb_df = self.spark.createDataFrame(
+                [(int(d),) for d in tomb], "docid long"
+            )
+            docs = docs.join(F.broadcast(tomb_df), "docid", "left_anti")
+        rg_bytes = str(self.cfg.docs_row_group_mb * 1024 * 1024)
+        self.cat.write(docs, "docs_merged", options={"parquet.block.size": rg_bytes})
+        shutil.rmtree(self.cat.path("docs"))
+        shutil.move(self.cat.path("docs_merged"), self.cat.path("docs"))
+        # Spark caches file listings per path for the whole session; a
+        # swapped directory MUST be refreshed or later reads silently see
+        # the old snapshot
+        self.spark.catalog.refreshByPath(self.cat.path("docs"))
 
-        n_terms, _ = build_dictionary(self.spark, self.cat, self.cfg)
-        # refresh collection stats
-        docs = self.cat.read(self.spark, "docs")
-        row = docs.agg(
+        # ---- 2. collection stats FIRST: the postings rewrite recomputes
+        # block-max tfnorm under the post-compaction avgdl
+        row = self.cat.read(self.spark, "docs").agg(
             F.count("*").alias("n"),
             F.avg("dl").alias("avgdl"),
             F.max("docid").alias("mx"),
         ).collect()[0]
+        new_avgdl = float(row["avgdl"] or 0.0)
+
+        # ---- 3. postings: base + deltas -> group-merge/tombstone/rewrite
+        base = self.cat.read(self.spark, "postings")
+        if "rgroup" in base.columns:  # build-time resume-group dirs
+            base = base.drop("rgroup")
+        merged = base.select(*_POSTING_COLS)
+        if delta_dirs:
+            deltas = self.spark.read.parquet(*delta_dirs).select(*_POSTING_COLS)
+            merged = merged.unionByName(deltas)
+        rewriter = make_compaction_rewriter(
+            self.cfg.k1, self.cfg.b, new_avgdl, self.cfg.block_size, tomb
+        )
+        n_part = max(1, 4 * self.cfg.n_term_buckets)
+        rewritten = (
+            merged.repartition(
+                n_part, "bucket", F.pmod(F.col("range_id"), F.lit(4))
+            )
+            .mapInPandas(rewriter, BLOCK_SCHEMA)
+            .withColumn(
+                "bucket", term_bucket_col(F.col("term"), self.cfg.n_term_buckets)
+            )
+            .sortWithinPartitions("term", "range_id", "block_id")
+        )
+        self.cat.write(
+            rewritten, "postings_merged", partition_by=["bucket"], mode="overwrite"
+        )
+        # atomic-ish swap (an Iceberg snapshot commit in production)
+        shutil.rmtree(self.cat.path("postings"))
+        shutil.move(self.cat.path("postings_merged"), self.cat.path("postings"))
+        self.spark.catalog.refreshByPath(self.cat.path("postings"))
+
+        # ---- 4. clear folded inputs
+        for d in delta_dirs + doc_deltas:
+            shutil.rmtree(d)
+        if tomb is not None:
+            shutil.rmtree(self.cat.path("tombstones"), ignore_errors=True)
+
+        # ---- 5. refresh the dictionary (df/cf/term ids over merged
+        # postings) and stats
+        from marlin_spark.index.build import build_dictionary
+
+        n_terms, _ = build_dictionary(self.spark, self.cat, self.cfg)
         self.stats.update(
             n_docs=int(row["n"]),
-            avgdl=float(row["avgdl"]),
-            max_docid=int(row["mx"]),
+            avgdl=new_avgdl,
+            max_docid=int(row["mx"] or 0),
             n_terms=n_terms,
             stats_epoch=self.stats.get("stats_epoch", 0) + 1,
         )

@@ -1,0 +1,174 @@
+"""CRUD delete/update semantics (reference: test/robot/crud.robot and
+document.robot; delete index.c:1037-1070 -> sindex.c:1057-1099, replace
+index.c:965-1034) plus NRT delta visibility before compaction.
+
+Covers the round-1 verdict gaps: tombstoned docs vanish from every query
+path immediately (fresh engine), compaction folds tombstones + deltas and
+refreshes n_docs/avgdl/df so post-compaction ranking is rank-identical to
+an oracle built over the edited corpus (same docids)."""
+
+import datetime as dt
+import shutil
+
+import pytest
+
+from marlin_spark.oracle.bm25 import OracleIndex, assign_docids
+from marlin_spark.query.engine import SearchEngine
+from marlin_spark.streaming.incremental import IncrementalIndexer
+
+
+@pytest.fixture()
+def crud_index(spark, tiny_index, tmp_path):
+    base_dir, cfg, _ = tiny_index
+    d = str(tmp_path / "crud_idx")
+    shutil.copytree(base_dir, d)
+    return d, cfg
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [r + (dt.datetime(2025, 1, 1),) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_streamed_turns_visible_before_compaction(spark, crud_index):
+    """NRT visibility (ADVICE item): delta segments are searchable for
+    terms already in the dictionary WITHOUT waiting for compact()."""
+    d, cfg = crud_index
+    inc = IncrementalIndexer(spark, d, cfg)
+    # existing vocabulary ('worst' is in the base dictionary)
+    inc.process_batch(
+        _batch(spark, [("zzz-nrt", 0, "user", "worst streamed turn", None)]), 0
+    )
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("worst", k=100, use_wand=False)).collect()
+    texts = {r["text"] for r in hyd}
+    assert "worst streamed turn" in texts  # delta postings + delta docs seen
+    # WAND path sees it too
+    wand_ids = {r["docid"] for r in eng.search("worst", k=100).collect()}
+    exact_ids = {r["docid"] for r in eng.search("worst", k=100, use_wand=False).collect()}
+    assert wand_ids == exact_ids
+    # local fast path includes delta segments
+    local_ids = {docid for docid, _ in eng.search_local("worst", k=100)}
+    assert local_ids == exact_ids
+
+
+def test_delete_excludes_doc_from_every_path(spark, crud_index, tiny_oracle):
+    d, cfg = crud_index
+    eng0 = SearchEngine(spark, d, cfg)
+    victim = eng0.search("worst", k=1, use_wand=False).collect()[0]["docid"]
+
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.delete_docids([victim])
+
+    eng = SearchEngine(spark, d, cfg)  # fresh engine sees tombstones
+    for wand in (True, False):
+        ids = {r["docid"] for r in eng.search("worst", k=100, use_wand=wand).collect()}
+        assert victim not in ids and ids  # others still match
+    assert victim not in {doc for doc, _ in eng.search_local("worst", k=100)}
+    # match-all (empty query) path
+    all_ids = {r["docid"] for r in eng.search("", k=1000).collect()}
+    assert victim not in all_ids
+    # marlin match algebra + phrase paths
+    assert victim not in {
+        r["docid"] for r in eng.match_marlin("worst", prefix_last=False).collect()
+    }
+    # the old engine instance (constructed pre-delete) still serves the
+    # old snapshot until refresh() — documented read-your-writes boundary
+    eng0.refresh()
+    assert victim not in {
+        r["docid"] for r in eng0.search("worst", k=100).collect()
+    }
+
+
+def test_delete_by_natural_key(spark, crud_index, tiny_rows):
+    d, cfg = crud_index
+    pairs = assign_docids(tiny_rows)
+    # pick the key of docid 1
+    key_rows = sorted(tiny_rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    conv, turn = key_rows[0]["conv_id"], key_rows[0]["turn_idx"]
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.delete_turns([(conv, turn)])
+    assert pairs[0][0] == 1  # the sorted-first key is docid 1 by contract
+    eng = SearchEngine(spark, d, cfg)
+    assert eng.deleted is not None and 1 in set(eng.deleted.tolist())
+    assert 1 not in {r["docid"] for r in eng.search("", k=1000).collect()}
+    # hydration no longer returns the deleted key
+    keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in eng.hydrate(eng.search("", k=1000)).collect()
+    }
+    assert (conv, turn) not in keys
+
+
+def test_compaction_folds_tombstones_and_refreshes_stats(
+    spark, crud_index, tiny_rows, tiny_oracle
+):
+    d, cfg = crud_index
+    eng0 = SearchEngine(spark, d, cfg)
+    n_before = eng0.stats["n_docs"]
+    epoch_before = eng0.stats.get("stats_epoch", 0)
+    victims = [
+        r["docid"] for r in eng0.search("worst", k=2, use_wand=False).collect()
+    ]
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.delete_docids(victims)
+    inc.compact()
+
+    eng = SearchEngine(spark, d, cfg)
+    assert eng.deleted is None  # tombstones folded
+    assert eng.stats["n_docs"] == n_before - len(victims)
+    assert eng.stats["stats_epoch"] == epoch_before + 1
+
+    # rank-identity vs an oracle over the edited corpus (same docids)
+    pairs = [(doc, text) for doc, text in assign_docids(tiny_rows) if doc not in victims]
+    oracle = OracleIndex(pairs)
+    assert abs(oracle.avgdl - eng.avgdl) < 1e-9
+    for q in ["worst", "this best", "test", "aaaa bbbb"]:
+        want = [(doc, round(s, 6)) for doc, s in oracle.search(q, k=10)]
+        for wand in (True, False):
+            got = [
+                (r["docid"], round(r["score"], 6))
+                for r in eng.search(q, k=10, use_wand=wand).collect()
+            ]
+            assert got == want, (q, wand)
+
+
+def test_update_replaces_turn(spark, crud_index, tiny_rows):
+    d, cfg = crud_index
+    key_rows = sorted(tiny_rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    conv, turn = key_rows[2]["conv_id"], key_rows[2]["turn_idx"]
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.update_turns(
+        _batch(spark, [(conv, int(turn), "user", "worst replacement text", None)]), 7
+    )
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("worst", k=200, use_wand=False)).collect()
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in hyd}
+    assert got.get((conv, turn)) == "worst replacement text"
+    # old docid (3) gone everywhere
+    assert 3 not in {r["docid"] for r in eng.search("", k=1000).collect()}
+    # compaction preserves the replacement and the key maps to ONE doc
+    inc.compact()
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("worst", k=200, use_wand=False)).collect()
+    rows = [r for r in hyd if (r["conv_id"], r["turn_idx"]) == (conv, turn)]
+    assert len(rows) == 1 and rows[0]["text"] == "worst replacement text"
+
+
+def test_batch_capacity_overflow_fails_loudly(spark, crud_index):
+    d, cfg = crud_index
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.stats["batch_capacity"] = 1
+    with pytest.raises(ValueError, match="batch_capacity"):
+        inc.process_batch(
+            _batch(
+                spark,
+                [
+                    ("c1", 0, "user", "a", None),
+                    ("c1", 1, "user", "b", None),
+                ],
+            ),
+            0,
+        )

@@ -185,3 +185,25 @@ def test_streaming_incremental_index(spark, tmp_path, tiny_index, tiny_oracle, t
     assert eng.stats is not None
     base_hits = eng.search("worst", k=5, use_wand=False).count()
     assert base_hits >= 2
+
+
+def test_hot_shingle_cap_prevents_quadratic_blowup(spark):
+    """One viral boilerplate shingle shared by ALL docs (the 100-TB skew
+    nightmare: a df-N shingle feeds an N^2 reducer). The df cap drops it
+    from candidate generation; true near-dups still pair via their
+    distinctive shingles."""
+    boiler = "subscribe to our newsletter today friends"
+    rows = [
+        (i, f"{boiler} unique words {i} alpha{i} beta{i} gamma{i}")
+        for i in range(300)
+    ]
+    rows.append((1000, rows[0][1]))  # exact near-dup of doc 0
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    # the viral shingles are gone from the capped shingle set
+    sh = dedup._shingles(sdf, "doc_id", "text", 3, max_df=10)
+    viral = sh.filter(F.col("s") == "subscribe to our").count()
+    assert viral == 0
+    # and the pair join still finds the planted duplicate, fast
+    pairs = dedup.ngram_jaccard_pairs(sdf, threshold=0.8, max_shingle_df=10)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got == {(0, 1000): 1.0}
