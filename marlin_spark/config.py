@@ -41,12 +41,12 @@ class EngineConfig:
     build_groups: int = 1
     # Shuffle partitions for the build (None -> session default).
     build_partitions: int | None = None
-    # Zero-shuffle postings stage: scan split size (MB). Parallelism of
-    # stage B = docs bytes / this. Must be >= docs_row_group_mb.
-    build_scan_split_mb: int = 16
-    # Parquet row-group size (MB) for docs/ writes; the effective minimum
-    # split granularity of every later docs scan.
-    docs_row_group_mb: int = 16
+    # Parquet row-group size (MB) for docs/ writes; the effective MINIMUM
+    # scan-split granularity of the zero-shuffle postings stage (a row
+    # group is atomic to maxPartitionBytes). The stage sizes its splits
+    # adaptively — docs_bytes / (4 * cores), clamped to
+    # [docs_row_group_mb, 64MB] — so task count tracks cluster width.
+    docs_row_group_mb: int = 4
     # Max rows per streaming micro-batch: the docid headroom reserved per
     # batch_id by IncrementalIndexer (persisted in stats.json at build so
     # every writer agrees; overflow fails loudly instead of colliding).

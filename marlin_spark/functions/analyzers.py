@@ -41,6 +41,25 @@ def marlin_tokens_search(texts: pd.Series) -> pd.Series:
     return texts.map(lambda s: [] if s is None else _marlin_tokenize(s, "search"))
 
 
+@F.pandas_udf(T.IntegerType())
+def marlin_token_count(texts: pd.Series) -> pd.Series:
+    """Count-only index-mode analyzer (dl computation): skips building
+    the array<struct> tokens column entirely — the batch tokenizer's
+    counts vector goes straight back through Arrow as int32."""
+    from marlin_spark.oracle.tokenizer import analyze_batch
+
+    counts, _terms, _pos = analyze_batch(texts.tolist(), "marlin", "index")
+    return pd.Series(counts.astype("int32"))
+
+
+def token_count_col(col: Column, analyzer: str, mode: str = "index") -> Column:
+    """Token count (dl) column — cheaper than F.size(tokens_col(...)) for
+    the marlin analyzer (no struct-array Arrow marshal)."""
+    if analyzer == "marlin" and mode == "index":
+        return marlin_token_count(col)
+    return F.size(tokens_col(col, analyzer, mode))
+
+
 def simple_tokens(col: Column) -> Column:
     """SQL-expressible analyzer: lowercase, split on non-[a-z0-9].
 

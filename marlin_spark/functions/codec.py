@@ -25,23 +25,43 @@ import numpy as np
 _THRESH = [1 << (7 * k) for k in range(1, 10)]
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode; also returns per-value byte counts so a
+    caller encoding many logical records in one call can split the buffer
+    (the multi-block emitter's fast path)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(v.shape, dtype=np.int64)
+    vmax = int(v.max())
     for t in _THRESH:
-        nb += (v >= np.uint64(t)).astype(np.int64)
+        if vmax < t:
+            break
+        nb += v >= np.uint64(t)
     total = int(nb.sum())
-    ends = np.cumsum(nb)
-    starts = ends - nb
-    vi = np.repeat(v, nb)
-    ji = (np.arange(total) - np.repeat(starts, nb)).astype(np.uint64)
-    out = ((vi >> (np.uint64(7) * ji)) & np.uint64(0x7F)).astype(np.uint8)
-    is_last = ji == np.repeat(nb - 1, nb).astype(np.uint64)
-    out[~is_last] |= np.uint8(0x80)
-    return out.tobytes()
+    starts = np.cumsum(nb) - nb
+    out = np.empty(total, dtype=np.uint8)
+    # byte-slot passes: slot 0 covers every value; slot j only the values
+    # needing > j bytes (a fast-shrinking minority for delta/tf/dl data).
+    # Avoids the O(total) repeat/arange expansion of the naive layout.
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        if j == 0:
+            idx, vj, nbj = starts, v, nb
+        else:
+            mask = nb > j
+            idx = starts[mask] + j
+            vj = v[mask]
+            nbj = nb[mask]
+        byte = (vj >> np.uint64(7 * j)) & np.uint64(0x7F)
+        byte |= (nbj > j + 1).astype(np.uint64) << np.uint64(7)
+        out[idx] = byte.astype(np.uint8)
+    return out.tobytes(), nb
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+    return vb_encode_with_sizes(values)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
@@ -103,6 +123,57 @@ def decode_block(postings_bytes: bytes) -> tuple[np.ndarray, np.ndarray, np.ndar
     tfs = vals[1 + n : 1 + 2 * n]
     dls = vals[1 + 2 * n : 1 + 3 * n]
     return docids, tfs, dls
+
+
+def decode_blocks_many(
+    post_bufs: list, n_docs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode MANY postings buffers in one vb_decode pass (varbyte
+    continuation bits are self-delimiting, so concatenated buffers decode
+    as one stream). ``n_docs`` gives each block's doc count (stored
+    alongside the block), which fixes every value offset up front.
+
+    Returns (docids, tfs, dls, d_start) where the first three are
+    doc-level arrays concatenated in input-block order and ``d_start`` is
+    each block's starting index into them. Delta chains reset per block,
+    so docids are only valid within a block's segment — callers merging
+    blocks of one group get increasing docids because slabs are disjoint
+    and pre-ordered.
+    """
+    n = np.asarray(n_docs, dtype=np.int64)
+    nd_total = int(n.sum())
+    if nd_total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    vals = vb_decode(b"".join(post_bufs))
+    vlen = 1 + 3 * n
+    voff = np.concatenate(([0], np.cumsum(vlen)))[:-1]
+    d_start = np.concatenate(([0], np.cumsum(n)))[:-1]
+    doc_off = np.arange(nd_total) - np.repeat(d_start, n)
+    didx = np.repeat(voff + 1, n) + doc_off
+    rep_n = np.repeat(n, n)
+    deltas = vals[didx].astype(np.int64)
+    tfs = vals[didx + rep_n].astype(np.int64)
+    dls = vals[didx + 2 * rep_n].astype(np.int64)
+    cs = np.cumsum(deltas)
+    base = cs[d_start] - deltas[d_start]
+    docids = cs - np.repeat(base, n)
+    return docids, tfs, dls, d_start
+
+
+def decode_positions_many(pos_bufs: list, tfs: np.ndarray) -> np.ndarray:
+    """Batch-decode many positions buffers (concatenated single-pass
+    vb_decode). ``tfs`` is the doc-level tf array across all blocks in
+    buffer order; per-doc delta chains reset at each doc's first position.
+    Returns the doc-major positions array."""
+    tf64 = np.asarray(tfs, dtype=np.int64)
+    pdeltas = vb_decode(b"".join(pos_bufs)).astype(np.int64)
+    if pdeltas.size == 0:
+        return pdeltas
+    p_doc_start = np.concatenate(([0], np.cumsum(tf64)))[:-1]
+    cs = np.cumsum(pdeltas)
+    base = cs[p_doc_start] - pdeltas[p_doc_start]
+    return cs - np.repeat(base, tf64)
 
 
 def decode_positions(positions_bytes: bytes, tfs: np.ndarray) -> np.ndarray:

@@ -28,7 +28,14 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from marlin_spark.functions.codec import decode_block, decode_positions, encode_block
+from marlin_spark.functions.codec import (
+    decode_block,
+    decode_blocks_many,
+    decode_positions,
+    decode_positions_many,
+    encode_block,
+    vb_encode_with_sizes,
+)
 
 BLOCK_SCHEMA = (
     "term string, range_id int, block_id int, first_docid long, "
@@ -40,6 +47,130 @@ _OUT_COLS = [
     "term", "range_id", "block_id", "first_docid", "last_docid",
     "n_docs", "sum_tf", "max_tfnorm", "postings", "positions",
 ]
+
+
+def emit_blocks_vec(
+    uniq: np.ndarray,
+    u_c: np.ndarray,
+    u_r: np.ndarray,
+    u_d: np.ndarray,
+    tf: np.ndarray,
+    u_dl: np.ndarray,
+    pos: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+    acc: dict,
+) -> pd.DataFrame | None:
+    """Vectorized multi-block emitter: encodes EVERY block of a partition
+    in a handful of numpy passes (two vb_encode calls total) instead of
+    ~10 numpy calls per block — the per-block overhead was the measured
+    hot spot of the build (337us/block; a partition holds 10^4-10^5
+    blocks).
+
+    Inputs are DOC-LEVEL arrays, group-contiguous by (term code, range_id)
+    with docids strictly increasing within a group, plus the doc-major
+    position-level array ``pos`` (tf[i] positions for doc i). ``uniq``
+    maps term codes -> term strings. Returns a BLOCK_SCHEMA DataFrame.
+    """
+    nd = u_d.shape[0]
+    if nd == 0:
+        return None
+    norm_c = k1 * (1.0 - b)
+    norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
+    new_group = np.empty(nd, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (u_c[1:] != u_c[:-1]) | (u_r[1:] != u_r[:-1])
+    g_of = np.cumsum(new_group) - 1
+    g_start = np.flatnonzero(new_group)
+    idx_in_g = np.arange(nd) - g_start[g_of]
+    # a block starts at each group start and every block_size docs within
+    b_start = np.flatnonzero(idx_in_g % block_size == 0)
+    nb = b_start.size
+    new_block = np.zeros(nd, dtype=bool)
+    new_block[b_start] = True
+    bod = np.cumsum(new_block) - 1  # block id of each doc row
+    b_end = np.append(b_start[1:], nd)
+    b_ndocs = (b_end - b_start).astype(np.int64)
+    tf64 = tf.astype(np.int64)
+    tff = tf64.astype(np.float64)
+    score = tff * (k1 + 1.0) / (tff + norm_c + norm_s * u_dl.astype(np.float64))
+    b_max = np.maximum.reduceat(score, b_start)
+    b_sumtf = np.add.reduceat(tf64, b_start)
+    # --- postings payload: per block [n, deltas(n), tfs(n), dls(n)] ---
+    du = u_d.astype(np.uint64)
+    deltas = np.empty(nd, dtype=np.uint64)
+    deltas[1:] = du[1:] - du[:-1]  # cross-block wraps are overwritten below
+    deltas[b_start] = du[b_start]
+    seg_len = 1 + 3 * b_ndocs
+    seg_start = np.concatenate(([0], np.cumsum(seg_len)))[:-1]
+    vals = np.empty(int(nb + 3 * nd), dtype=np.uint64)
+    vals[seg_start] = b_ndocs.astype(np.uint64)
+    doc_off = np.arange(nd) - b_start[bod]
+    base = seg_start[bod] + 1 + doc_off
+    vals[base] = deltas
+    vals[base + b_ndocs[bod]] = tf64.astype(np.uint64)
+    vals[base + 2 * b_ndocs[bod]] = u_dl.astype(np.uint64)
+    buf, sizes = vb_encode_with_sizes(vals)
+    cum = np.concatenate(([0], np.cumsum(sizes)))
+    blo = cum[seg_start]
+    bhi = cum[seg_start + seg_len]
+    post_bytes = [buf[lo:hi] for lo, hi in zip(blo.tolist(), bhi.tolist())]
+    # --- positions payload: per doc, first absolute then gaps ---
+    npos = pos.shape[0]
+    if npos:
+        pos64 = pos.astype(np.int64)
+        p_doc_start = np.concatenate(([0], np.cumsum(tf64)))[:-1]
+        pdelta = np.empty(npos, dtype=np.int64)
+        pdelta[1:] = pos64[1:] - pos64[:-1]
+        pdelta[p_doc_start] = pos64[p_doc_start]
+        pbuf, psizes = vb_encode_with_sizes(pdelta.astype(np.uint64))
+        pcum = np.concatenate(([0], np.cumsum(psizes)))
+        p_bounds = np.concatenate((p_doc_start, [npos]))
+        plo = pcum[p_bounds[b_start]]
+        phi = pcum[p_bounds[b_end]]
+        pos_bytes = [pbuf[lo:hi] for lo, hi in zip(plo.tolist(), phi.tolist())]
+        pos_total = len(pbuf)
+    else:
+        pos_bytes = [b""] * nb
+        pos_total = 0
+    if "postings_emitted" in acc:
+        acc["postings_emitted"].add(int(nd))
+    if "blocks_built" in acc:
+        acc["blocks_built"].add(int(nb))
+    if "bytes_postings" in acc:
+        acc["bytes_postings"].add(len(buf))
+    if "bytes_positions" in acc:
+        acc["bytes_positions"].add(pos_total)
+    return pd.DataFrame(
+        {
+            "term": uniq[u_c[b_start]],
+            "range_id": u_r[b_start].astype(np.int32),
+            "block_id": (idx_in_g[b_start] // block_size).astype(np.int32),
+            "first_docid": u_d[b_start].astype(np.int64),
+            "last_docid": u_d[b_end - 1].astype(np.int64),
+            "n_docs": b_ndocs.astype(np.int32),
+            "sum_tf": b_sumtf,
+            "max_tfnorm": b_max,
+            "postings": post_bytes,
+            "positions": pos_bytes,
+        }
+    )
+
+
+def collapse_positions_to_docs(
+    c: np.ndarray, r: np.ndarray, d: np.ndarray, dl: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Position-level sorted (code, range, docid) stream -> doc-level
+    boundary index + tf per doc. Returns (doc_idx, tf)."""
+    total = d.shape[0]
+    new_doc = np.empty(total, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1]) | (d[1:] != d[:-1])
+    doc_idx = np.flatnonzero(new_doc)
+    tf = np.diff(np.append(doc_idx, total))
+    return doc_idx, tf
 
 
 def _make_emitter(
@@ -231,16 +362,15 @@ def make_doc_range_builder(
     """
     acc = counters or {}
     fields = list(fields or ["text"])
-    build_group = _make_group_builder(k1, b, avgdl, block_size, acc)
 
     def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from marlin_spark.oracle.tokenizer import analyze
+        from marlin_spark.oracle.tokenizer import analyze_batch
 
         # accumulate the WHOLE partition before grouping: a partition may
         # pack many small docs files (Arrow batch each); building per
         # batch would fragment (term, range) groups into per-file partial
         # blocks. Memory is bounded by the scan split size
-        # (build_scan_split_mb of text + ~10x that in token arrays).
+        # (one scan split of text + ~10x that in token arrays).
         import time as _time
 
         def _lap(key, t0):
@@ -259,25 +389,14 @@ def make_doc_range_builder(
         f_doc, f_dl, f_terms, f_pos = [], [], [], []
         for prio, fname in enumerate(fields):
             offset = prio << 16
-            toks = [
-                analyze(t, analyzer, "index") if t is not None else []
-                for t in pdf[fname]
-            ]
-            counts = np.fromiter(
-                (len(x) for x in toks), dtype=np.int64, count=len(toks)
+            counts, terms_arr, pos_arr = analyze_batch(
+                pdf[fname].tolist(), analyzer, "index"
             )
-            ftotal = int(counts.sum())
-            if ftotal == 0:
+            if terms_arr.size == 0:
                 continue
             t = _lap("ms_tokenize", t)
-            terms_arr = np.empty(ftotal, dtype=object)
-            pos_arr = np.empty(ftotal, dtype=np.int64)
-            i = 0
-            for tk in toks:
-                for term, pos in tk:
-                    terms_arr[i] = term
-                    pos_arr[i] = pos + offset
-                    i += 1
+            if offset:
+                pos_arr = pos_arr + offset
             f_doc.append(np.repeat(docids, counts))
             f_dl.append(np.repeat(dls, counts))
             f_terms.append(terms_arr)
@@ -289,25 +408,41 @@ def make_doc_range_builder(
         rep_dl = np.concatenate(f_dl)
         flat_terms = np.concatenate(f_terms)
         flat_pos = np.concatenate(f_pos)
-        total = rep_doc.size
-        # integer term codes first: lexsort over ints, not strings
+        # integer term codes first: sort over ints, not strings
         codes, uniq = pd.factorize(flat_terms)
         rng = rep_doc // range_size
-        order = np.lexsort((flat_pos, rep_doc, codes, rng))
+        # composite single-key argsort for (rng, code, docid, pos): one
+        # radix-ish pass instead of lexsort's four stable passes. A scan
+        # split holds a narrow docid slab, so the rebased product fits
+        # 63 bits at any corpus scale; fall back to lexsort if not.
+        d_rel = rep_doc - rep_doc.min()
+        r_rel = rng - rng.min()
+        kk = int(uniq.size)
+        dd_span = int(d_rel.max()) + 1
+        pp_span = int(flat_pos.max()) + 1
+        rr_span = int(r_rel.max()) + 1
+        if rr_span * kk * dd_span * pp_span < (1 << 63):
+            # int64 arithmetic throughout (bound-checked above, no overflow)
+            key = ((r_rel * kk + codes.astype(np.int64)) * dd_span + d_rel) * pp_span + flat_pos
+            order = np.argsort(key)  # keys are unique: (term,doc,pos) distinct
+        else:
+            order = np.lexsort((flat_pos, rep_doc, codes, rng))
         t = _lap("ms_sort", t)
         c = codes[order]
         r = rng[order]
         d = rep_doc[order]
         p = flat_pos[order]
         dl_o = rep_dl[order]
-        bounds = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1]))
-        starts = np.concatenate(([0], bounds + 1))
-        ends = np.concatenate((bounds + 1, [total]))
-        out: list = []
-        for s, e in zip(starts, ends):
-            build_group(uniq[c[s]], int(r[s]), d[s:e], p[s:e], dl_o[s:e], out)
+        doc_idx, tf = collapse_positions_to_docs(c, r, d, dl_o)
+        res = emit_blocks_vec(
+            uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq),
+            c[doc_idx], r[doc_idx], d[doc_idx], tf,
+            dl_o[doc_idx], p,
+            k1, b, avgdl, block_size, acc,
+        )
         t = _lap("ms_emit", t)
-        yield pd.DataFrame(out, columns=_OUT_COLS)
+        if res is not None:
+            yield res[_OUT_COLS]
 
     return builder
 
@@ -330,7 +465,6 @@ def make_block_merger(
     Input/output schema: BLOCK_SCHEMA + trailing bucket column.
     """
     acc = counters or {}
-    emit = _make_emitter(k1, b, avgdl, block_size, acc)
 
     def merger(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time
@@ -345,60 +479,55 @@ def make_block_merger(
         first = pdf["first_docid"].to_numpy(dtype=np.int64)
         buckets = pdf["bucket"].to_numpy(dtype=np.int64)
         codes, uniq = pd.factorize(terms)
+        uniq = np.asarray(uniq)
         order = np.lexsort((first, rng, codes))
         c = codes[order]
         r = rng[order]
-        bounds = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1]))
-        starts = np.concatenate(([0], bounds + 1))
-        ends = np.concatenate((bounds + 1, [len(pdf)]))
-        post_col = pdf["postings"].to_numpy()
-        posx_col = pdf["positions"].to_numpy()
-        out: list = []
-        out_buckets: list = []
-        for s, e in zip(starts, ends):
-            rows = order[s:e]
-            if e - s == 1:
-                # single source block: already full, pass through untouched
-                i = rows[0]
-                t = pdf.iat[i, pdf.columns.get_loc("term")]
-                row = (
-                    t, int(rng[i]), int(pdf.iat[i, pdf.columns.get_loc("block_id")]),
-                    int(first[i]),
-                    int(pdf.iat[i, pdf.columns.get_loc("last_docid")]),
-                    int(pdf.iat[i, pdf.columns.get_loc("n_docs")]),
-                    int(pdf.iat[i, pdf.columns.get_loc("sum_tf")]),
-                    float(pdf.iat[i, pdf.columns.get_loc("max_tfnorm")]),
-                    post_col[i], posx_col[i],
+        nrows = len(pdf)
+        new_g = np.empty(nrows, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
+        g_of = np.cumsum(new_g) - 1
+        g_sizes = np.bincount(g_of)
+        is_single = g_sizes[g_of] == 1  # over ordered rows
+        outs: list[pd.DataFrame] = []
+        single_rows = order[is_single]
+        if single_rows.size:
+            # groups with ONE source block (the vast majority away from
+            # split boundaries) pass through byte-identical, vectorized
+            passthru = pdf.take(single_rows)
+            if "blocks_built" in acc:
+                acc["blocks_built"].add(int(single_rows.size))
+            if "bytes_postings" in acc:
+                acc["bytes_postings"].add(
+                    int(sum(len(x) for x in passthru["postings"]))
                 )
-                if "blocks_built" in acc:
-                    acc["blocks_built"].add(1)
-                if "bytes_postings" in acc:
-                    acc["bytes_postings"].add(len(post_col[i]))
-                if "bytes_positions" in acc:
-                    acc["bytes_positions"].add(len(posx_col[i]))
-                out.append(row)
-                out_buckets.append(int(buckets[i]))
-                continue
-            d_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
-            for i in rows:  # already ordered by first_docid (disjoint slabs)
-                dd, tt, ll = decode_block(bytes(post_col[i]))
-                pp = decode_positions(bytes(posx_col[i]), tt)
-                d_parts.append(dd)
-                tf_parts.append(tt)
-                dl_parts.append(ll)
-                pos_parts.append(pp)
-            emit(
-                uniq[c[s]],
-                int(r[s]),
-                np.concatenate(d_parts),
-                np.concatenate(tf_parts),
-                np.concatenate(dl_parts),
-                np.concatenate(pos_parts).astype(np.int64),
-                out,
+            if "bytes_positions" in acc:
+                acc["bytes_positions"].add(
+                    int(sum(len(x) for x in passthru["positions"]))
+                )
+            outs.append(passthru)
+        multi = ~is_single
+        if multi.any():
+            rows = order[multi]  # group-contiguous, ordered by first_docid
+            nd = pdf["n_docs"].to_numpy().astype(np.int64)[rows]
+            post = pdf["postings"].to_numpy()[rows].tolist()
+            posx = pdf["positions"].to_numpy()[rows].tolist()
+            docids, tfs, dls, _ = decode_blocks_many(post, nd)
+            positions = decode_positions_many(posx, tfs)
+            res = emit_blocks_vec(
+                uniq,
+                np.repeat(c[multi], nd),
+                np.repeat(r[multi], nd),
+                docids, tfs, dls, positions,
+                k1, b, avgdl, block_size, acc,
             )
-            out_buckets.extend([int(buckets[rows[0]])] * (len(out) - len(out_buckets)))
-        res = pd.DataFrame(out, columns=_OUT_COLS)
-        res["bucket"] = pd.Series(out_buckets, dtype="int32")
+            if res is not None:
+                bmap = dict(zip(terms[rows].tolist(), buckets[rows].tolist()))
+                res["bucket"] = res["term"].map(bmap).astype("int32")
+                outs.append(res)
+        res = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+        res = res[_OUT_COLS + ["bucket"]]
         if "ms_merge" in acc:
             acc["ms_merge"].add(int((_time.time() - _t0) * 1000))
         yield res

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marlin_spark.config import EngineConfig
-from marlin_spark.functions.analyzers import tokens_col
+from marlin_spark.functions.analyzers import token_count_col
 from marlin_spark.index.blocks import (
     BLOCK_SCHEMA,
     make_block_merger,
@@ -112,7 +112,7 @@ class IndexBuilder:
         dl_col = None
         for fname in cfg.indexed_fields:
             s = F.when(F.col(fname).isNull(), F.lit(0)).otherwise(
-                F.size(tokens_col(F.col(fname), cfg.analyzer, "index"))
+                token_count_col(F.col(fname), cfg.analyzer, "index")
             )
             dl_col = s if dl_col is None else dl_col + s
         docs = (
@@ -219,25 +219,35 @@ class IndexBuilder:
         )
         # parallelism of the zero-shuffle stage = scan splits; docs/ is
         # written with small row groups (docs_row_group_mb) precisely so
-        # this split size is effective
-        split_bytes = str(cfg.build_scan_split_mb * 1024 * 1024)
-        with _conf(self.spark, "spark.sql.files.maxPartitionBytes", split_bytes):
+        # this split size is effective. Split size adapts to the data so
+        # the stage always runs ~waves_per_core waves of uniform tasks —
+        # a fixed split width gave 1.4 waves at 32 cores (30% tail idle)
+        # while the 8-core run packed 5.5 waves (9%), which alone sank
+        # the measured N->4N efficiency.
+        cores = self.spark.sparkContext.defaultParallelism
+        docs_bytes = self.cat.dir_bytes("docs") // max(1, n_groups)
+        split = min(
+            max(docs_bytes // (4 * cores), cfg.docs_row_group_mb * 1024 * 1024),
+            64 * 1024 * 1024,
+        )
+        with _conf(self.spark, "spark.sql.files.maxPartitionBytes", str(split)):
             raw = docs.mapInPandas(builder, BLOCK_SCHEMA)
             raw = raw.withColumn(
                 "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
             )
             # coalesce blocks toward their bucket AND fold split-boundary
             # partial blocks in the same (cheap — blocks are ~100x smaller
-            # than the token stream) shuffle: the key (bucket, range%4)
+            # than the token stream) shuffle: the key (bucket, range%S)
             # co-locates every block of a (term, range) group, so the
             # merger re-cuts them into the blocks a single-pass build
-            # would emit. The 4-way sub-bucket salt keeps Zipf-head
-            # buckets from straggling the write stage; files per bucket
-            # stay <= 4 per group.
+            # would emit. The S-way sub-bucket salt spreads Zipf-head
+            # buckets across reducers: S=16 gives 16*n_term_buckets keys
+            # over ~4 partitions/core, so no single reducer straggles the
+            # merge wave.
             blocks = raw.repartition(
-                max(1, (4 * cfg.n_term_buckets) // n_groups),
+                max(16, 4 * cores),
                 "bucket",
-                F.pmod(F.col("range_id"), F.lit(4)),
+                F.pmod(F.col("range_id"), F.lit(16)),
             ).mapInPandas(merger, BLOCK_SCHEMA + ", bucket int")
             blocks = blocks.sortWithinPartitions("term", "range_id", "block_id")
             # each group owns its rgroup=K dir: a retried group overwrites

@@ -65,6 +65,18 @@ class IndexCatalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
+    def dir_bytes(self, name: str) -> int:
+        """Total bytes under a table dir (drives adaptive scan-split
+        sizing; an Iceberg catalog exposes the same via table stats)."""
+        total = 0
+        for root, _dirs, files in os.walk(self.path(name)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
     # --- json metadata ---
     def write_json(self, name: str, obj: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)

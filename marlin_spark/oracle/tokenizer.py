@@ -191,6 +191,94 @@ def tokenize(text: str, mode: str = "index") -> List[Tuple[str, int]]:
     return out
 
 
+# Batch fast-path bail: after .lower(), a doc needs the faithful slow
+# loop iff it contains (a) any char outside the plain-separator/token
+# ASCII set ('.' IS allowed here — for multi-char tokens it is a plain
+# separator), (b) a single-char token followed by '.' (abbreviation rule
+# merges across it: "u.s.a." -> "usa"), or (c) a >=127-char token run
+# (the C buffer-reset semantics).
+_BAD_CHAR = _re.compile(r"[^a-z0-9_ \t\n\r,;:!?\"()\[\]{}<>/\\|@#$%^&*+=~.]")
+# every guard-allowed separator -> space (token chars map to themselves)
+_SEP_TBL = str.maketrans(
+    {c: " " for c in " \t\n\r,;:!?\"()[]{}<>/\\|@#$%^&*+=~."}
+)
+_ABBREV_DOT = _re.compile(r"(?:^|[^a-z0-9_])[a-z0-9_]\.")
+_LONG_RUN = _re.compile(r"[a-z0-9_]{127}")
+
+
+def _batch_bails(s: str) -> bool:
+    """Staged guard, cheapest check first: one char-class scan for the
+    common case ('.', "'" and '-' are NOT in the class: ' and - always
+    bail via it); the abbreviation-dot / 127-run patterns only run when
+    their trigger char/length is present."""
+    if _BAD_CHAR.search(s):
+        return True
+    if "." in s and _ABBREV_DOT.search(s):
+        return True
+    return len(s) >= 127 and _LONG_RUN.search(s) is not None
+
+
+class _BatchBailShim:
+    """re-like .search() facade over the staged guard (tests use it)."""
+
+    @staticmethod
+    def search(s: str):
+        return _batch_bails(s) or None
+
+
+_BATCH_BAIL = _BatchBailShim()
+
+
+def analyze_batch(
+    texts, analyzer: str = "marlin", mode: str = "index"
+) -> tuple:
+    """Vectorized batch tokenizer: one C-level regex pass per doc on the
+    fast path, numpy position construction, slow-loop fidelity fallback
+    per doc that needs it. Returns (counts:int64[n], terms:object[total],
+    pos:int64[total]) in doc-major order — the shape the index builder
+    consumes directly (no per-token Python tuples).
+
+    Property-tested equal to per-doc ``analyze`` (tests/test_tokenizer_fast.py).
+    """
+    import numpy as np
+    from itertools import chain
+
+    n = len(texts)
+    if analyzer != "marlin":
+        fn = ANALYZERS[analyzer]
+        lists = [fn(t) if t else [] for t in texts]
+        counts = np.fromiter(map(len, lists), dtype=np.int64, count=n)
+        flat = list(chain.from_iterable(lists))
+        terms = np.empty(len(flat), dtype=object)
+        pos = np.empty(len(flat), dtype=np.int64)
+        for i, (t, p) in enumerate(flat):
+            terms[i] = t
+            pos[i] = p
+        return counts, terms, pos
+
+    lowered = [t.lower() if t else "" for t in texts]
+    # fast tokenize = translate separators to space + C-level split: on
+    # a guard-passed doc every char is either [a-z0-9_] or a mapped
+    # separator, so runs between spaces ARE the tokens
+    term_lists = [s.translate(_SEP_TBL).split() for s in lowered]
+    pos_overrides = {}
+    for i, s in enumerate(lowered):
+        if _batch_bails(s):
+            tl = tokenize(texts[i], mode)
+            term_lists[i] = [t for t, _ in tl]
+            pos_overrides[i] = np.fromiter(
+                (p for _, p in tl), dtype=np.int64, count=len(tl)
+            )
+    counts = np.fromiter(map(len, term_lists), dtype=np.int64, count=n)
+    terms = np.array(list(chain.from_iterable(term_lists)), dtype=object)
+    total = int(counts.sum())
+    first = np.cumsum(counts) - counts
+    pos = np.arange(1, total + 1, dtype=np.int64) - np.repeat(first, counts)
+    for i, arr in pos_overrides.items():
+        pos[first[i]:first[i] + counts[i]] = arr
+    return counts, terms, pos
+
+
 def simple_tokenize(text: str) -> List[Tuple[str, int]]:
     """SQL-expressible analyzer: lowercase, split on non-[a-z0-9].
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marlin_spark.config import EngineConfig
-from marlin_spark.functions.analyzers import tokens_col
+from marlin_spark.functions.analyzers import token_count_col, tokens_col
 from marlin_spark.index.blocks import (
     BLOCK_SCHEMA,
     make_block_builder,
@@ -88,7 +88,7 @@ class IncrementalIndexer:
         dl_col = None
         for fname in cfg.indexed_fields:
             s = F.when(F.col(fname).isNull(), F.lit(0)).otherwise(
-                F.size(tokens_col(F.col(fname), cfg.analyzer, "index"))
+                token_count_col(F.col(fname), cfg.analyzer, "index")
             )
             dl_col = s if dl_col is None else dl_col + s
         docs = (

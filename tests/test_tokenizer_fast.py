@@ -40,3 +40,50 @@ def test_fast_path_declines_specials_and_controls():
     for s in ["a.b", "don't", "x-y", "ab\x01cd", "café", "a" * 127]:
         assert tk._tokenize_fast_ascii(s) is None
         tk.tokenize(s)  # slow path handles them
+
+
+# --- analyze_batch (vectorized builder tokenizer) parity ---
+
+def _batch_equals_perdoc(texts, mode="index"):
+    import numpy as np
+
+    counts, terms, pos = tk.analyze_batch(texts, "marlin", mode)
+    off = 0
+    assert len(counts) == len(texts)
+    for i, t in enumerate(texts):
+        expect = tk.tokenize(t, mode) if t else []
+        got = list(zip(terms[off:off + counts[i]].tolist(),
+                       pos[off:off + counts[i]].tolist()))
+        assert got == expect, (t, got, expect)
+        off += counts[i]
+    assert off == terms.size == pos.size
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=120), max_size=8))
+def test_analyze_batch_equals_perdoc(texts):
+    _batch_equals_perdoc(texts, "index")
+    _batch_equals_perdoc(texts, "search")
+
+
+def test_analyze_batch_mixed_fast_slow():
+    texts = [
+        "hello world. the quick brown fox",
+        "u.s.a. merges to usa",          # abbreviation -> slow
+        "don't stop",                     # apostrophe -> slow
+        "state-of-the-art hyphens",       # hyphen concat -> slow
+        "café au lait",              # unicode -> slow
+        "",                               # empty
+        "plain tokens only here",
+        "x" * 200,                        # 127-cap -> slow
+    ]
+    _batch_equals_perdoc(texts, "index")
+    _batch_equals_perdoc(texts, "search")
+
+
+def test_analyze_batch_sentence_periods_stay_fast():
+    # multi-char tokens followed by '.' are plain separators: no bail
+    assert tk._BATCH_BAIL.search("hello world. next sentence.") is None
+    # single-char token + '.' must bail (abbreviation merge)
+    assert tk._BATCH_BAIL.search("u.s.a.") is not None
+    assert tk._BATCH_BAIL.search("see a. b") is not None
