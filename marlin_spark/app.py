@@ -1,0 +1,111 @@
+"""Application / multi-index surface.
+
+The reference serves many named indexes behind one app: queries carry an
+``indexName`` and are routed to the owning index, and a ``requests``
+array fans one HTTP call across several index queries with per-entry
+success isolation (/root/reference/src/main/app.c:146-210, app.c:120-144
+get_index_by_name). Index creation/deletion is the app's index registry
+(app.c:add_index/delete handlers; exercised by test/robot/crud.robot).
+
+Spark-first shape: an app is a directory of index catalogs
+(``<app_dir>/<index_name>/``). Routing is a dict lookup on the driver;
+each index keeps its own SearchEngine (stats snapshot + caches), which
+matches the reference's per-index in-memory state. Nothing here touches
+the data plane — all heavy work stays in the per-index engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from marlin_spark.config import EngineConfig
+from marlin_spark.index.build import IndexBuilder
+from marlin_spark.query.engine import SearchEngine
+
+
+class MarlinApp:
+    def __init__(self, spark: SparkSession, app_dir: str):
+        self.spark = spark
+        self.dir = app_dir
+        os.makedirs(app_dir, exist_ok=True)
+        self._engines: dict[str, SearchEngine] = {}
+
+    # ---------------------------------------------------------- registry
+    def index_path(self, name: str) -> str:
+        self._check_name(name)
+        return os.path.join(self.dir, name)
+
+    def list_indexes(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.dir)
+            if os.path.exists(os.path.join(self.dir, d, "stats.json"))
+        )
+
+    def create_index(
+        self,
+        name: str,
+        transcripts: DataFrame,
+        config: EngineConfig | None = None,
+        build_id: str = "build-0",
+    ) -> dict:
+        """Create (or rebuild) a named index from a transcript DataFrame.
+        Reference analog: POST /1/indexes + document batch add
+        (app.c add_index handler; crud.robot)."""
+        counters = IndexBuilder(
+            self.spark, self.index_path(name), config
+        ).build(transcripts, build_id)
+        self._engines.pop(name, None)  # drop any stale engine snapshot
+        return counters
+
+    def delete_index(self, name: str) -> bool:
+        """Drop a named index (app.c index delete handler)."""
+        path = self.index_path(name)
+        self._engines.pop(name, None)
+        if not os.path.exists(path):
+            return False
+        shutil.rmtree(path)
+        return True
+
+    def get_index(self, name: str) -> SearchEngine:
+        """get_index_by_name analog (app.c:120-144): unknown names raise."""
+        eng = self._engines.get(name)
+        if eng is None:
+            path = self.index_path(name)
+            if not os.path.exists(os.path.join(path, "stats.json")):
+                raise KeyError(f"Invalid indexName specified: {name!r}")
+            eng = SearchEngine(self.spark, path)
+            self._engines[name] = eng
+        return eng
+
+    # ------------------------------------------------------------ query
+    def query(self, index_name: str, q: str, **kw) -> DataFrame:
+        """Route one query to its index (app_index_query analog)."""
+        return self.get_index(index_name).search(q, **kw)
+
+    def multi_query(self, requests: list[dict]) -> list[dict]:
+        """``requests`` array fan-out (app.c query_app_indexes_handler):
+        each entry is {"indexName": ..., "query": ..., **search kwargs};
+        failures are isolated per entry exactly like the reference's
+        per-result success flag."""
+        results = []
+        for req in requests:
+            try:
+                name = req["indexName"]
+                q = req.get("query", "")
+                kw = {
+                    k: v for k, v in req.items()
+                    if k not in ("indexName", "query")
+                }
+                df = self.query(name, q, **kw)
+                results.append({"success": True, "hits": df})
+            except Exception as exc:  # isolate: one bad entry, not the batch
+                results.append({"success": False, "error": str(exc)})
+        return results
+
+    @staticmethod
+    def _check_name(name: str) -> None:
+        if not name or any(c in name for c in "/\\.."):
+            raise ValueError(f"invalid index name {name!r}")

@@ -1234,3 +1234,110 @@ def mm_binary_meta(spark, sf_dir):
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "ft_proximity_rank",
+    f"""WITH {_POS_CTES},
+a AS (SELECT doc_id, idx FROM pos WHERE term = 'data'),
+b AS (SELECT doc_id, idx FROM pos WHERE term = 'table')
+SELECT a.doc_id AS doc_id, min(abs(a.idx - b.idx))::BIGINT AS proximity
+FROM a JOIN b ON b.doc_id = a.doc_id
+GROUP BY a.doc_id ORDER BY proximity, doc_id LIMIT 15""",
+)
+def ft_proximity_rank(spark, sf_dir):
+    """Proximity rank feature from token positions: min |pos_a - pos_b|
+    between 'data' and 'table' per doc, ranked nearest-first — the SQL
+    twin of the rank cascade's proximity feature (reference
+    docrank.c:176-225 computes the same min-span over position lists;
+    comparator sort.c:46-100). Equi-join on doc_id, never a cross join."""
+    pos = _pos_df(spark, sf_dir)
+    a = pos.filter(F.col("term") == "data").select("doc_id", F.col("idx").alias("ia"))
+    b = pos.filter(F.col("term") == "table").select("doc_id", F.col("idx").alias("ib"))
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("ia") - F.col("ib"))).cast("long").alias("proximity"))
+        .orderBy("proximity", "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "ft_sort_by",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT 15""",
+)
+def ft_sort_by(spark, sf_dir):
+    """sortBy: match set ordered by a numeric attribute instead of rank
+    score (reference sortBy prepends the numeric rule to the comparator
+    list, index.c:1134-1148; pinned by test/robot/sort.robot:46-60).
+    Engine twin: SearchEngine.search_ranked(sort_by=...)."""
+    d = _docs(spark, sf_dir)
+    m = (
+        tokens_df(d, "doc_id", "text")
+        .filter(F.col("term") == "data")
+        .select(F.col("_doc").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(m, "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "ev_sessionization",
+    """WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t FROM events),
+g AS (SELECT user_id, event_id, t,
+        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT user_id, t,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(t) AS session_start, (max(t) - min(t))::BIGINT AS duration_s
+FROM s GROUP BY user_id, session_id
+ORDER BY n_events DESC, user_id, session_start LIMIT 20""",
+)
+def ev_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the batch twin of a Structured Streaming session window
+    (F.session_window / applyInPandasWithState at 100 TB; expressed here
+    as lag+cumsum so DuckDB can oracle-check it). Top sessions by event
+    count. Window ties broken by event_id for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = g.withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t").alias("session_start"),
+            (F.max("t") - F.min("t")).cast("long").alias("duration_s"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("session_start"))
+        .limit(20)
+    )

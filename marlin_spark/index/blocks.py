@@ -79,17 +79,17 @@ def emit_blocks_vec(
         return None
     norm_c = k1 * (1.0 - b)
     norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
+    ar = np.arange(nd)
     new_group = np.empty(nd, dtype=bool)
     new_group[0] = True
     new_group[1:] = (u_c[1:] != u_c[:-1]) | (u_r[1:] != u_r[:-1])
     g_of = np.cumsum(new_group) - 1
     g_start = np.flatnonzero(new_group)
-    idx_in_g = np.arange(nd) - g_start[g_of]
+    idx_in_g = ar - g_start[g_of]
     # a block starts at each group start and every block_size docs within
-    b_start = np.flatnonzero(idx_in_g % block_size == 0)
+    new_block = idx_in_g % block_size == 0
+    b_start = np.flatnonzero(new_block)
     nb = b_start.size
-    new_block = np.zeros(nd, dtype=bool)
-    new_block[b_start] = True
     bod = np.cumsum(new_block) - 1  # block id of each doc row
     b_end = np.append(b_start[1:], nd)
     b_ndocs = (b_end - b_start).astype(np.int64)
@@ -107,11 +107,12 @@ def emit_blocks_vec(
     seg_start = np.concatenate(([0], np.cumsum(seg_len)))[:-1]
     vals = np.empty(int(nb + 3 * nd), dtype=np.uint64)
     vals[seg_start] = b_ndocs.astype(np.uint64)
-    doc_off = np.arange(nd) - b_start[bod]
-    base = seg_start[bod] + 1 + doc_off
+    bn_bod = b_ndocs[bod]
+    base = seg_start[bod] + 1 + (ar - b_start[bod])
     vals[base] = deltas
-    vals[base + b_ndocs[bod]] = tf64.astype(np.uint64)
-    vals[base + 2 * b_ndocs[bod]] = u_dl.astype(np.uint64)
+    base += bn_bod
+    vals[base] = tf64.astype(np.uint64)
+    vals[base + bn_bod] = u_dl.astype(np.uint64)
     buf, sizes = vb_encode_with_sizes(vals)
     cum = np.concatenate(([0], np.cumsum(sizes)))
     blo = cum[seg_start]
@@ -160,7 +161,7 @@ def emit_blocks_vec(
 
 
 def collapse_positions_to_docs(
-    c: np.ndarray, r: np.ndarray, d: np.ndarray, dl: np.ndarray
+    c: np.ndarray, r: np.ndarray, d: np.ndarray, dl: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Position-level sorted (code, range, docid) stream -> doc-level
     boundary index + tf per doc. Returns (doc_idx, tf)."""
@@ -374,11 +375,17 @@ def make_doc_range_builder(
         import time as _time
 
         def _lap(key, t0):
+            """Record wall ms (ms_*) and, when wired, cpu ms (cpu_*) per
+            phase: wall >> cpu inside a worker = descheduled by core
+            oversubscription, the key scaling diagnostic."""
             if key in acc:
-                acc[key].add(int((_time.time() - t0) * 1000))
-            return _time.time()
+                acc[key].add(int((_time.time() - t0[0]) * 1000))
+            ck = "cpu_" + key[3:]
+            if ck in acc:
+                acc[ck].add(int((_time.process_time() - t0[1]) * 1000))
+            return (_time.time(), _time.process_time())
 
-        t = _time.time()
+        t = (_time.time(), _time.process_time())
         parts = [pdf for pdf in batches if not pdf.empty]
         if not parts:
             return
@@ -386,7 +393,7 @@ def make_doc_range_builder(
         t = _lap("ms_read", t)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        f_doc, f_dl, f_terms, f_pos = [], [], [], []
+        f_doc, f_terms, f_pos = [], [], []
         for prio, fname in enumerate(fields):
             offset = prio << 16
             counts, terms_arr, pos_arr = analyze_batch(
@@ -398,14 +405,12 @@ def make_doc_range_builder(
             if offset:
                 pos_arr = pos_arr + offset
             f_doc.append(np.repeat(docids, counts))
-            f_dl.append(np.repeat(dls, counts))
             f_terms.append(terms_arr)
             f_pos.append(pos_arr)
             t = _lap("ms_flatten", t)
         if not f_doc:
             return
         rep_doc = np.concatenate(f_doc)
-        rep_dl = np.concatenate(f_dl)
         flat_terms = np.concatenate(f_terms)
         flat_pos = np.concatenate(f_pos)
         # integer term codes first: sort over ints, not strings
@@ -424,7 +429,9 @@ def make_doc_range_builder(
         if rr_span * kk * dd_span * pp_span < (1 << 63):
             # int64 arithmetic throughout (bound-checked above, no overflow)
             key = ((r_rel * kk + codes.astype(np.int64)) * dd_span + d_rel) * pp_span + flat_pos
-            order = np.argsort(key)  # keys are unique: (term,doc,pos) distinct
+            # kind="stable" = LSD radix sort for int keys in numpy: O(n)
+            # passes instead of comparison introsort on 10^7-row arrays
+            order = np.argsort(key, kind="stable")
         else:
             order = np.lexsort((flat_pos, rep_doc, codes, rng))
         t = _lap("ms_sort", t)
@@ -432,12 +439,17 @@ def make_doc_range_builder(
         r = rng[order]
         d = rep_doc[order]
         p = flat_pos[order]
-        dl_o = rep_dl[order]
-        doc_idx, tf = collapse_positions_to_docs(c, r, d, dl_o)
+        doc_idx, tf = collapse_positions_to_docs(c, r, d, None)
+        u_d = d[doc_idx]
+        # dl at DOC level via a 1e5-element searchsorted lookup — never
+        # replicated to the 10^7-row position stream (its repeat + sort
+        # gather was measurable memory traffic for a pure redundancy)
+        dorder = np.argsort(docids, kind="stable")
+        u_dl = dls[dorder][np.searchsorted(docids[dorder], u_d)]
         res = emit_blocks_vec(
             uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq),
-            c[doc_idx], r[doc_idx], d[doc_idx], tf,
-            dl_o[doc_idx], p,
+            c[doc_idx], r[doc_idx], u_d, tf,
+            u_dl, p,
             k1, b, avgdl, block_size, acc,
         )
         t = _lap("ms_emit", t)
@@ -470,6 +482,7 @@ def make_block_merger(
         import time as _time
 
         _t0 = _time.time()
+        _c0 = _time.process_time()
         parts = [pdf for pdf in batches if not pdf.empty]
         if not parts:
             return
@@ -530,6 +543,8 @@ def make_block_merger(
         res = res[_OUT_COLS + ["bucket"]]
         if "ms_merge" in acc:
             acc["ms_merge"].add(int((_time.time() - _t0) * 1000))
+        if "cpu_merge" in acc:
+            acc["cpu_merge"].add(int((_time.process_time() - _c0) * 1000))
         yield res
 
     return merger

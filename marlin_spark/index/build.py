@@ -196,7 +196,9 @@ class IndexBuilder:
         timing = {
             k: sc.accumulator(0)
             for k in ("ms_read", "ms_tokenize", "ms_flatten", "ms_sort",
-                      "ms_emit", "ms_merge")
+                      "ms_emit", "ms_merge",
+                      "cpu_read", "cpu_tokenize", "cpu_flatten", "cpu_sort",
+                      "cpu_emit", "cpu_merge")
         }
         fields = list(cfg.indexed_fields)
         docs = self.cat.read(self.spark, "docs").select("docid", "dl", *fields)
@@ -228,7 +230,7 @@ class IndexBuilder:
         docs_bytes = self.cat.dir_bytes("docs") // max(1, n_groups)
         split = min(
             max(docs_bytes // (4 * cores), cfg.docs_row_group_mb * 1024 * 1024),
-            64 * 1024 * 1024,
+            16 * 1024 * 1024,
         )
         with _conf(self.spark, "spark.sql.files.maxPartitionBytes", str(split)):
             raw = docs.mapInPandas(builder, BLOCK_SCHEMA)

@@ -61,7 +61,10 @@ def get_spark(
         # 10k default (fewer python round-trips + pandas allocations)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("MARLIN_SPARK_UI", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     if local_dir:
