@@ -129,14 +129,20 @@ class IndexBuilder:
         # split a row group), so the split width of the postings build is
         # set HERE.
         rg_bytes = str(self.cfg.docs_row_group_mb * 1024 * 1024)
-        self.cat.write(docs, "docs", options={"parquet.block.size": rg_bytes})
-        docs.unpersist()  # release the with_dense_ids persist
-        stored = self.cat.read(self.spark, "docs")
-        row = stored.agg(
-            F.count("*").alias("n"),
+        # collection stats ride along on the write job (Observation
+        # metrics) — no second read+agg pass over docs/
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_stats")
+        docs = docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("total"),
-        ).collect()[0]
+        )
+        self.cat.write(docs, "docs", options={"parquet.block.size": rg_bytes})
+        docs.unpersist()  # release the with_dense_ids persist
+        row = obs.get
         self.cat.write_json(
             "stats.json",
             {
