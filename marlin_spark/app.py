@@ -100,12 +100,25 @@ class MarlinApp:
                     if k not in ("indexName", "query")
                 }
                 df = self.query(name, q, **kw)
-                results.append({"success": True, "hits": df})
+                # execute INSIDE the try: the plan is lazy, so without
+                # this a corrupt-index / analysis error would surface at
+                # the caller's collect, outside per-entry isolation
+                rows = df.collect()
+                hits = self.spark.createDataFrame(rows, df.schema)
+                results.append({"success": True, "hits": hits})
             except Exception as exc:  # isolate: one bad entry, not the batch
                 results.append({"success": False, "error": str(exc)})
         return results
 
     @staticmethod
     def _check_name(name: str) -> None:
-        if not name or any(c in name for c in "/\\.."):
+        # block path traversal only — dotted index names are legal
+        # (the reference accepts any URL path segment)
+        if (
+            not name
+            or name in (".", "..")
+            or "/" in name
+            or "\\" in name
+            or os.sep in name
+        ):
             raise ValueError(f"invalid index name {name!r}")

@@ -45,12 +45,23 @@ class EngineConfig:
     # scan-split granularity of the zero-shuffle postings stage (a row
     # group is atomic to maxPartitionBytes). The stage sizes its splits
     # adaptively — docs_bytes / (4 * cores), clamped to
-    # [docs_row_group_mb, 64MB] — so task count tracks cluster width.
+    # [docs_row_group_mb, 16MB] — so task count tracks cluster width.
     docs_row_group_mb: int = 4
     # Max rows per streaming micro-batch: the docid headroom reserved per
     # batch_id by IncrementalIndexer (persisted in stats.json at build so
     # every writer agrees; overflow fails loudly instead of colliding).
     batch_capacity: int = 1_000_000
+    # Fuzzy expansion answers on the driver (pyarrow pruned read + local
+    # DP) when the fc partitions it must scan total at most this many
+    # bytes; bigger scans run distributed with the same pushed filters.
+    typo_local_bytes: int = 64 * 1024 * 1024
+    # Build the short-prefix accelerator (precomputed docid blocks for
+    # every <=prefix_accel_len-char term prefix — the dtrie short-prefix
+    # bitmap analog, /root/reference/src/main/dtrie.c:355-375). Off by
+    # default: it adds a build stage; enable for prefix-heavy workloads
+    # (the reference's wrk harness is exactly that).
+    prefix_accel: bool = False
+    prefix_accel_len: int = 3
 
     # --- query defaults (reference: src/main/index.h:16-24) ---
     hits_per_page: int = 20

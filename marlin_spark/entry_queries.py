@@ -184,6 +184,22 @@ def ft_prefix_terms(spark, sf_dir):
 
 
 @register(
+    "ft_prefix_short",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_matches FROM toks WHERE term LIKE 'v%'""",
+)
+def ft_prefix_short(spark, sf_dir):
+    """1-char prefix match cardinality — the reference's hottest workload
+    shape (random 1-8-char prefixes, test/wrk/reddit.lua:13-27), served
+    at engine level by the precomputed prefix_accel/ docid blobs
+    (index/prefix_accel.py; dtrie.c:355-375 analog)."""
+    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    return toks.filter(F.col("term").startswith("v")).agg(
+        F.countDistinct("_doc").alias("n_matches")
+    )
+
+
+@register(
     "ft_doc_lengths",
     """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
 t2 AS (SELECT * FROM toks WHERE term <> '')

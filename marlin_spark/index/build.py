@@ -29,8 +29,9 @@ Stages, each a resumable manifest unit:
 
   C "dictionary"  postings -> groupBy(term): df, cf, n_blocks (merge
                   fan-in), global max_tfnorm; dense term_id by sorted term
-                  -> dictionary/bucket=NN/ (sorted-by-term files => parquet
-                  min/max stats give prefix range pruning).
+                  -> dictionary/fc=c/ (first-char-class partitions +
+                  sorted-by-term files => partition pruning for prefix and
+                  fuzzy scans, parquet min/max stats within).
                   [reference analog: dtrie word->wid,
                    /root/reference/src/main/dtrie.c:452-484]
 
@@ -54,7 +55,7 @@ from marlin_spark.index.blocks import (
     make_block_merger,
     make_doc_range_builder,
 )
-from marlin_spark.index.catalog import IndexCatalog, term_bucket_col
+from marlin_spark.index.catalog import IndexCatalog, term_bucket_col, term_fc_col
 from marlin_spark.index.manifest import BuildManifest
 from marlin_spark.operators.docids import with_dense_ids
 
@@ -92,6 +93,18 @@ class IndexBuilder:
         if not (resume and mf.is_done("dictionary")):
             self._stage_dictionary(mf)
         stage_secs["dictionary"] = round(time.time() - t2, 2)
+
+        if self.cfg.prefix_accel:
+            t3 = time.time()
+            if not (resume and mf.is_done("prefix_accel")):
+                from marlin_spark.index.prefix_accel import build_prefix_accel
+
+                info = build_prefix_accel(self.spark, self.cat, self.cfg)
+                mf.mark_done("prefix_accel", info)
+                s = self.cat.read_json("stats.json")
+                s["prefix_accel_len"] = self.cfg.prefix_accel_len
+                self.cat.write_json("stats.json", s)
+            stage_secs["prefix_accel"] = round(time.time() - t3, 2)
 
         counters = mf.counters()
         counters["stage_seconds"] = stage_secs
@@ -288,9 +301,11 @@ class IndexBuilder:
 
 def build_dictionary(spark: SparkSession, cat: IndexCatalog, cfg: EngineConfig) -> tuple[int, int]:
     """Derive the term dictionary from postings blocks: df/cf/max_tfnorm
-    per term + dense sorted term ids; bucket-partitioned, term-sorted
-    files so parquet min/max stats prune prefix range scans (dtrie/twid
-    analog, SURVEY.md §2.3). Also used by streaming compaction."""
+    per term + dense sorted term ids; partitioned by first-char class
+    (fc) with term-sorted files, so exact lookups, prefix range scans AND
+    fuzzy expansion all prune at the partition level first and by parquet
+    min/max stats second (dtrie/twid analog, SURVEY.md §2.3 +
+    query/fuzzy.py). Also used by streaming compaction."""
     posts = cat.read(spark, "postings")
     terms = posts.groupBy("term").agg(
         F.sum("n_docs").alias("df"),
@@ -299,11 +314,9 @@ def build_dictionary(spark: SparkSession, cat: IndexCatalog, cfg: EngineConfig) 
         F.count("*").alias("n_blocks"),
     )
     terms = with_dense_ids(terms, ["term"], "term_id")
-    terms = terms.withColumn(
-        "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
-    )
+    terms = terms.withColumn("fc", term_fc_col(F.col("term")))
     cat.write(
-        terms.sortWithinPartitions("term"), "dictionary", partition_by=["bucket"]
+        terms.sortWithinPartitions("term"), "dictionary", partition_by=["fc"]
     )
     terms.unpersist()
     stored = cat.read(spark, "dictionary")

@@ -8,7 +8,12 @@ src/main/dtrie.c; we keep partitioned Parquet tables + JSON metadata):
       docs/range_id=NN/         docid conv_id turn_idx role tool ts text dl
       postings/bucket=NN/       term range_id block_id first/last_docid
                                 n_docs sum_tf max_tfnorm postings positions
-      dictionary/bucket=NN/     term term_id df cf max_tfnorm
+      dictionary/fc=c/          term term_id df cf max_tfnorm
+                                (fc = first-char class: partition pruning
+                                for prefix + fuzzy scans, query/fuzzy.py)
+      prefix_accel/fc=c/        prefix range_id postings  (optional:
+                                precomputed short-prefix docid blocks,
+                                dtrie short-prefix bitmap analog)
       stats.json                n_docs avgdl total_tokens n_terms build_id
       manifest/                 per-stage/per-group checkpoint records
       counters.json             build counters (postings, bytes, fan-in)
@@ -40,6 +45,19 @@ def term_bucket_col(term: Column, n_buckets: int) -> Column:
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_fc_col(term: Column) -> Column:
+    """JVM twin of query.fuzzy.term_fc_py (first-char class): terms with
+    any char outside [a-z0-9_] -> 'oth'; digit first chars -> 'dN' and
+    '_' -> 'us' so hive partition values never type-infer numeric."""
+    c1 = F.substring(term, 1, 1)
+    return (
+        F.when(~term.rlike("^[a-z0-9_]+$"), F.lit("oth"))
+        .when(c1.rlike("^[0-9]$"), F.concat(F.lit("d"), c1))
+        .when(c1 == "_", F.lit("us"))
+        .otherwise(c1)
+    )
 
 
 class IndexCatalog:

@@ -99,6 +99,12 @@ class SearchEngine:
 
         self._df_cache: dict = {}
         self._stats_epoch = self.stats.get("stats_epoch", 0)
+        # short-prefix accelerator: available iff built for this index
+        self._accel_len = (
+            int(self.stats.get("prefix_accel_len", 0))
+            if self.cat.exists("prefix_accel")
+            else 0
+        )
         self.deleted = None
         if self.cat.exists("tombstones"):
             try:
@@ -224,19 +230,23 @@ class SearchEngine:
                     if t not in found:
                         cache[t] = None
                 return rows
+        from marlin_spark.query.fuzzy import OTHER_FC, fc_of_char, term_fc_py
+
         d = self.cat.read(self.spark, "dictionary")
         conds = []
-        buckets = sorted(
-            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
-        )
         if terms:
-            conds.append(
-                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-            )
+            fcs = sorted({term_fc_py(t) for t in terms})
+            conds.append(F.col("fc").isin(fcs) & F.col("term").isin(terms))
         for p in prefixes:
             # term range scan over sorted dictionary files (dtrie subtree
-            # walk analog, /root/reference/src/main/dtrie.c:642-700)
-            conds.append(F.col("term").startswith(p))
+            # walk analog, /root/reference/src/main/dtrie.c:642-700);
+            # fc partition prune: matching terms start with p[0] unless
+            # they contain a non-token char (-> oth partition)
+            pfcs = [OTHER_FC]
+            c = fc_of_char(p[0]) if p else None
+            if c is not None:
+                pfcs.append(c)
+            conds.append(F.col("fc").isin(sorted(pfcs)) & F.col("term").startswith(p))
         if not conds:
             return []
         cond = conds[0]
@@ -254,15 +264,15 @@ class SearchEngine:
     def _dictionary_lookup_arrow(self, terms: list[str]) -> list[dict]:
         import pyarrow.dataset as pads
 
-        buckets = sorted(
-            {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
-        )
+        from marlin_spark.query.fuzzy import term_fc_py
+
+        fcs = sorted({term_fc_py(t) for t in terms})
         dataset = pads.dataset(
             self.cat.path("dictionary"), partitioning="hive", format="parquet"
         )
         tbl = dataset.to_table(
             columns=["term", "df"],
-            filter=pads.field("bucket").isin(buckets)
+            filter=pads.field("fc").isin(fcs)
             & pads.field("term").isin(terms),
         )
         return [
@@ -531,27 +541,65 @@ class SearchEngine:
 
     def _docids_for(self, exact: list[str], prefixes: list[str]) -> DataFrame:
         """Distinct docids holding any of the terms / prefix expansions
-        (posting-list OR, reference squery.c:72-142)."""
-        rows = self._dictionary_lookup(exact, prefixes)
-        matched = [r["term"] for r in rows]
-        matched = [
-            t
-            for t in matched
-            if t in exact or any(t.startswith(p) for p in prefixes)
-        ]
-        if not matched:
+        (posting-list OR, reference squery.c:72-142). Prefixes no longer
+        than the accelerator length are answered from the precomputed
+        prefix_accel/ docid blobs (dtrie short-prefix bitmap analog,
+        dtrie.c:355-375) — no dictionary expansion, no per-term postings
+        scan, cost independent of how many terms share the prefix."""
+        accel_len = self._accel_len
+        short = [p for p in prefixes if len(p) <= accel_len]
+        rest = [p for p in prefixes if len(p) > accel_len]
+        parts: list[DataFrame] = []
+        if short:
+            from marlin_spark.index.prefix_accel import accel_docids_df
+
+            parts.append(accel_docids_df(self.spark, self.cat, short))
+            deltas = self._delta_dirs("postings")
+            if deltas:
+                # NRT segments not yet folded into the accelerator
+                parts.append(self._delta_prefix_docids(deltas, short))
+        if exact or rest:
+            rows = self._dictionary_lookup(exact, rest)
+            matched = [r["term"] for r in rows]
+            matched = [
+                t
+                for t in matched
+                if t in exact or any(t.startswith(p) for p in rest)
+            ]
+            if matched:
+                posts = self._postings_df()
+                buckets = sorted(
+                    {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
+                )
+                blocks = posts.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(matched)
+                ).select("term", "postings")
+                parts.append(
+                    blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
+                        "docid"
+                    )
+                )
+        if not parts:
             return self.spark.createDataFrame([], "docid long")
-        posts = self._postings_df()
-        buckets = sorted(
-            {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
+        docids = parts[0]
+        for p in parts[1:]:
+            docids = docids.unionByName(p)
+        return self._not_deleted(docids.distinct())
+
+    def _delta_prefix_docids(self, deltas: list[str], prefixes: list[str]) -> DataFrame:
+        """Docids of delta-segment terms matching any short prefix (the
+        segments are small between compactions; compact() rebuilds the
+        accelerator)."""
+        cond = None
+        for p in prefixes:
+            c = F.col("term").startswith(p)
+            cond = c if cond is None else (cond | c)
+        blocks = (
+            self.spark.read.parquet(*deltas)
+            .filter(cond)
+            .select("term", "postings")
         )
-        blocks = posts.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(matched)
-        ).select("term", "postings")
-        docids = blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
-            "docid"
-        ).distinct()
-        return self._not_deleted(docids)
+        return blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select("docid")
 
     # ------------------------------------------ driver-local fast path
     def search_local(self, q: str, k: int = 10, mode: str = "any",
@@ -693,21 +741,74 @@ class SearchEngine:
         )
 
     # ---------------------------------------------- typo (fuzzy) match
+    def _typo_scan_terms(self, specs: list[tuple[str, bool, int]]):
+        """Retrieve the PRUNED candidate term set for a list of
+        (word, prefix, maxdist) specs as a numpy object array, or None if
+        the scan is too large for the driver (query/fuzzy.py builds an
+        exact superset filter: fc partition scan + prefix ranges + exact
+        candidates — the trie-walk-bounding analog, dtrie.c:702-791)."""
+        import numpy as np
+
+        from marlin_spark.query import fuzzy
+
+        flt = fuzzy.specs_filter(specs)
+        self._last_fuzzy_filter = flt  # plan-test / explain hook
+        if not (flt.partitions or flt.exact or flt.ranges):
+            return np.empty(0, dtype=object), flt
+        part_bytes = sum(
+            self.cat.dir_bytes(f"dictionary/fc={p}") for p in flt.partitions
+        )
+        if part_bytes > self.cfg.typo_local_bytes:
+            return None, flt
+        try:
+            import pyarrow.dataset as pads
+
+            from marlin_spark.query.fuzzy import arrow_expression
+
+            ds = pads.dataset(
+                self.cat.path("dictionary"), partitioning="hive",
+                format="parquet",
+            )
+            tbl = ds.to_table(columns=["term"], filter=arrow_expression(flt))
+            return np.asarray(tbl["term"].to_pylist(), dtype=object), flt
+        except Exception:
+            return None, flt
+
+    def _fuzzy_pruned_dictionary(self, flt) -> DataFrame:
+        """Distributed fuzzy candidate scan: UNION of (a) the fc
+        partition scan and (b) the disjoint exact/range candidate scan —
+        two reads so each carries its prunable predicate as a conjunct
+        (one OR across fc and term would defeat both partition pruning
+        and pushdown; asserted in tests/test_plans.py)."""
+        from marlin_spark.query.fuzzy import spark_conditions
+
+        dic = self.cat.read(self.spark, "dictionary")
+        parts = [
+            dic.filter(c).select("term") for c in spark_conditions(flt)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _typo_expand_words(self, specs: list[tuple[str, bool, int]]) -> list[list[str]]:
         """Expand each (word, prefix, maxdist) spec to its matching
-        dictionary terms in ONE distributed dictionary scan: a two-sided
-        length band prunes candidates before the UDF (lower bound always;
-        upper bound when no spec is a prefix), then a single Arrow-batched
-        UDF runs the numpy-vectorized banded OSA DP for ALL specs over
-        each batch and returns a per-term bitmask — the distributed analog
-        of the reference's one trie walk per term (dtrie.c:702-791),
-        without round-1's per-row Python lambda or per-word scans."""
-        lo = min(max(1, len(w) - dd) for w, _, dd in specs)
-        exact_his = [len(w) + dd for w, pf, dd in specs if not pf]
-        dic = self.cat.read(self.spark, "dictionary").select("term")
-        cond = F.length("term") >= lo
-        if len(exact_his) == len(specs):
-            cond = cond & (F.length("term") <= max(exact_his))
+        dictionary terms. Fast path: driver-local pyarrow read of the
+        fuzzy-pruned candidate set (fc partitions + ranges + exact
+        candidates, query/fuzzy.py) + the numpy banded OSA DP — zero
+        Spark jobs, like the reference's in-memory trie walk. When the
+        pruned scan is too big for the driver (typo_local_bytes), ONE
+        distributed scan with the same pushed filters and a single
+        Arrow-batched UDF running the DP for ALL specs per batch."""
+        cands, flt = self._typo_scan_terms(specs)
+        if cands is not None:
+            from marlin_spark.query.typo_vec import osa_match_batch
+
+            return [
+                sorted(cands[osa_match_batch(w, cands, pf, dd)].tolist())
+                for w, pf, dd in specs
+            ]
+        dic = self._fuzzy_pruned_dictionary(flt)
         local_specs = list(specs)
 
         @F.pandas_udf("long")
@@ -723,8 +824,7 @@ class SearchEngine:
             return pd.Series(m)
 
         rows = (
-            dic.filter(cond)
-            .withColumn("m", _mask(F.col("term")))
+            dic.withColumn("m", _mask(F.col("term")))
             .filter(F.col("m") > 0)
             .select("term", "m")
             .collect()
@@ -734,17 +834,26 @@ class SearchEngine:
             for i in range(len(specs)):
                 if r["m"] & (1 << i):
                     out[i].append(r["term"])
-        return out
+        return [sorted(g) for g in out]
 
     def _typo_expand_dists(self, specs: list[tuple[str, bool, int]]) -> list[list[tuple[str, int]]]:
         """Like _typo_expand_words but returns (term, best_distance) per
         spec — the WID2TYPOS payload the rank cascade consumes."""
-        lo = min(max(1, len(w) - dd) for w, _, dd in specs)
-        exact_his = [len(w) + dd for w, pf, dd in specs if not pf]
-        dic = self.cat.read(self.spark, "dictionary").select("term")
-        cond = F.length("term") >= lo
-        if len(exact_his) == len(specs):
-            cond = cond & (F.length("term") <= max(exact_his))
+        cands, flt = self._typo_scan_terms(specs)
+        if cands is not None:
+            import numpy as np
+
+            from marlin_spark.query.typo_vec import osa_dist_batch
+
+            out: list[list[tuple[str, int]]] = []
+            for w, pf, dd in specs:
+                dist = osa_dist_batch(w, cands, pf, dd)
+                hit = np.flatnonzero(dist <= dd)
+                out.append(
+                    sorted((str(cands[i]), int(dist[i])) for i in hit)
+                )
+            return out
+        dic = self._fuzzy_pruned_dictionary(flt)
         local_specs = list(specs)
 
         @F.pandas_udf("array<int>")
@@ -762,18 +871,17 @@ class SearchEngine:
             return pd.Series(list(m))
 
         rows = (
-            dic.filter(cond)
-            .withColumn("dists", _dists(F.col("term")))
+            dic.withColumn("dists", _dists(F.col("term")))
             .filter(F.exists("dists", lambda x: x >= 0))
             .select("term", "dists")
             .collect()
         )
-        out: list[list[tuple[str, int]]] = [[] for _ in specs]
+        out2: list[list[tuple[str, int]]] = [[] for _ in specs]
         for r in rows:
             for i, dist in enumerate(r["dists"]):
                 if dist >= 0:
-                    out[i].append((r["term"], int(dist)))
-        return out
+                    out2[i].append((r["term"], int(dist)))
+        return [sorted(g) for g in out2]
 
     # -------------------------------------------- reference rank cascade
     def search_ranked(

@@ -182,6 +182,50 @@ class IncrementalIndexer:
         self.delete_turns(batch_df.select("conv_id", "turn_idx"))
         self.process_batch(batch_df, batch_id)
 
+    PATCHABLE_FIELDS = ("role", "text", "tool", "ts")
+
+    def patch_turns(self, patch_df: DataFrame, batch_id: int) -> None:
+        """PATCH-style partial update (reference: index.c:965-1034 —
+        PATCH merges the request's fields into the stored document before
+        reindexing, unlike PUT/replace). DataFrame granularity is the
+        COLUMN: every non-key column present in ``patch_df`` replaces the
+        stored value (nulls included); absent columns survive unchanged.
+        Keys whose stored turn is deleted or unknown are ignored, like
+        the reference's per-doc existence check."""
+        keys = ["conv_id", "turn_idx"]
+        patch_cols = [c for c in patch_df.columns if c not in keys]
+        unknown = set(patch_cols) - set(self.PATCHABLE_FIELDS)
+        if unknown or not patch_cols:
+            raise ValueError(
+                f"patch_turns: patchable fields are {self.PATCHABLE_FIELDS},"
+                f" got {sorted(patch_cols)}"
+            )
+        cur = self._all_docs().select(
+            "docid",
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            *self.PATCHABLE_FIELDS,
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            tdf = self.spark.createDataFrame(
+                [(int(d),) for d in tomb], "docid long"
+            )
+            cur = cur.join(F.broadcast(tdf), "docid", "left_anti")
+        p = patch_df.select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            *[F.col(c).alias(f"_p_{c}") for c in patch_cols],
+        )
+        merged = cur.join(F.broadcast(p), keys, "inner").select(
+            *keys,
+            *[
+                (F.col(f"_p_{c}") if c in patch_cols else F.col(c)).alias(c)
+                for c in self.PATCHABLE_FIELDS
+            ],
+        )
+        self.update_turns(merged, batch_id)
+
     # ------------------------------------------------------------------
     def _all_docs(self) -> DataFrame:
         import glob
@@ -310,6 +354,23 @@ class IncrementalIndexer:
         from marlin_spark.index.build import build_dictionary
 
         n_terms, _ = build_dictionary(self.spark, self.cat, self.cfg)
+        if self.cat.exists("prefix_accel"):
+            # fold the merged segments into the short-prefix accelerator
+            # (same rebuild-on-commit contract as the dictionary)
+            from marlin_spark.index.prefix_accel import build_prefix_accel
+
+            build_prefix_accel(
+                self.spark,
+                self.cat,
+                self.cfg.with_(
+                    prefix_accel_len=int(
+                        self.stats.get(
+                            "prefix_accel_len", self.cfg.prefix_accel_len
+                        )
+                    )
+                ),
+            )
+            self.spark.catalog.refreshByPath(self.cat.path("prefix_accel"))
         self.stats.update(
             n_docs=int(row["n"]),
             avgdl=new_avgdl,

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from marlin_spark.functions.codec import decode_block, decode_positions
-from marlin_spark.index.catalog import IndexCatalog, term_bucket_py
+from marlin_spark.index.catalog import IndexCatalog, term_bucket_py  # noqa: F401
+from marlin_spark.query.fuzzy import term_fc_py
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +44,7 @@ def test_dictionary_df_matches_oracle(spark, cat, tiny_oracle, tiny_index):
     for term, plist in tiny_oracle.postings.items():
         assert got[term]["df"] == len(plist), term
         assert got[term]["cf"] == sum(len(p) for p in plist.values())
-        assert got[term]["bucket"] == term_bucket_py(term, cfg.n_term_buckets)
+        assert got[term]["fc"] == term_fc_py(term)
     # dense sorted term ids
     ids = sorted((r["term_id"], r["term"]) for r in d)
     assert [t for _, t in ids] == sorted(got)

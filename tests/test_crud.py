@@ -157,6 +157,59 @@ def test_update_replaces_turn(spark, crud_index, tiny_rows):
     assert len(rows) == 1 and rows[0]["text"] == "worst replacement text"
 
 
+def test_patch_merges_fields_into_stored_turn(spark, crud_index):
+    """PATCH semantics (index.c:965-1034): provided fields replace,
+    absent fields survive, and the index reflects the new text."""
+    d, cfg = crud_index
+    eng0 = SearchEngine(spark, d, cfg)
+    row = eng0.hydrate(
+        eng0.search("worst", k=1, use_wand=False)
+    ).collect()[0]
+    conv, turn = row["conv_id"], int(row["turn_idx"])
+    old_role, old_ts = row["role"], row["ts"]
+
+    inc = IncrementalIndexer(spark, d, cfg)
+    inc.patch_turns(
+        spark.createDataFrame(
+            [(conv, turn, "patched zzpatchterm text")],
+            "conv_id string, turn_idx long, text string",
+        ),
+        batch_id=9,
+    )
+    # new text is not in the base dictionary -> searchable after compact
+    # (the documented NRT df boundary); role/ts must survive the merge
+    inc.compact()
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("zzpatchterm", k=10, use_wand=False)).collect()
+    assert len(hyd) == 1
+    got = hyd[0]
+    assert (got["conv_id"], int(got["turn_idx"])) == (conv, turn)
+    assert got["text"] == "patched zzpatchterm text"
+    assert got["role"] == old_role and got["ts"] == old_ts
+    # old docid gone; exactly one doc for the key
+    all_rows = eng.hydrate(eng.search("", k=1000, use_wand=False)).collect()
+    assert (
+        sum(
+            1
+            for r in all_rows
+            if (r["conv_id"], int(r["turn_idx"])) == (conv, turn)
+        )
+        == 1
+    )
+
+
+def test_patch_rejects_unknown_fields(spark, crud_index):
+    d, cfg = crud_index
+    inc = IncrementalIndexer(spark, d, cfg)
+    with pytest.raises(ValueError, match="patchable"):
+        inc.patch_turns(
+            spark.createDataFrame(
+                [("c", 0, 5)], "conv_id string, turn_idx long, docid long"
+            ),
+            batch_id=10,
+        )
+
+
 def test_batch_capacity_overflow_fails_loudly(spark, crud_index):
     d, cfg = crud_index
     inc = IncrementalIndexer(spark, d, cfg)

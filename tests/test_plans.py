@@ -34,11 +34,32 @@ def test_postings_scan_prunes_partitions_and_positions(engine):
 
 def test_dictionary_lookup_pushes_term_filter(engine, spark):
     d = engine.cat.read(spark, "dictionary").filter(
-        (F.col("bucket") == 3) & (F.col("term") == "test")
+        (F.col("fc") == "t") & (F.col("term") == "test")
     )
     plan_str = _plan(d)
     assert "PartitionFilters" in plan_str
+    assert "fc" in plan_str.split("PartitionFilters")[1][:200]
     assert "PushedFilters" in plan_str
+
+
+def test_fuzzy_distributed_scan_prunes_fc_partitions(engine, spark):
+    """The distributed typo fallback must reach the dictionary scan with
+    fc partition filters + term predicates (round-2 verdict item #1: no
+    O(|dictionary|) scan per fuzzy query)."""
+    from marlin_spark.query.fuzzy import spark_conditions, specs_filter
+
+    flt = specs_filter([("worst", False, 1)])
+    cond_part, cond_cand = spark_conditions(flt)
+    dic = engine.cat.read(spark, "dictionary")
+    # scan (a): full-DP partitions — fc filter prunes at partition level
+    p1 = _plan(dic.filter(cond_part))
+    assert "fc" in p1.split("PartitionFilters")[1][:300]
+    # scan (b): exact/range candidates — term predicates pushed to parquet
+    p2 = _plan(dic.filter(cond_cand))
+    assert "term" in p2.split("PushedFilters")[1][:400]
+    # and the union plan the engine actually runs carries both
+    u = _plan(engine._fuzzy_pruned_dictionary(flt))
+    assert "PartitionFilters" in u and "PushedFilters" in u
 
 
 def test_hydrate_uses_broadcast_join(engine):
