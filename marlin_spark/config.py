@@ -63,6 +63,12 @@ class EngineConfig:
     prefix_accel: bool = False
     prefix_accel_len: int = 3
 
+    # search_ranked broadcasts the feature side of the sortBy/rankBy
+    # compare-field join when the matched terms' summed df (a plan-time
+    # upper bound on the match set) is at most this many docs; bigger
+    # match sets shuffle-join so the driver never materializes them.
+    rank_broadcast_df: int = 500_000
+
     # --- query defaults (reference: src/main/index.h:16-24) ---
     hits_per_page: int = 20
     max_hits: int = 1000

@@ -95,6 +95,25 @@ class IndexCatalog:
                     pass
         return total
 
+    def committed_delta_dirs(self, name: str) -> list[str]:
+        """Streaming delta dirs of ``name`` whose batch is FULLY
+        committed: a batch becomes visible only when BOTH its
+        postings_delta and docs_delta writes finished (_SUCCESS on each)
+        — a micro-batch that crashed between the two writes must never
+        expose ghost postings (hits with no doc) or ghost docs; the
+        streaming retry overwrites the same batch dir idempotently."""
+        import glob
+
+        out = []
+        for d in sorted(glob.glob(self.path(f"{name}_delta/batch=*"))):
+            bid = d.rsplit("=", 1)[1]
+            if all(
+                os.path.exists(self.path(f"{t}_delta/batch={bid}/_SUCCESS"))
+                for t in ("postings", "docs")
+            ):
+                out.append(d)
+        return out
+
     # --- json metadata ---
     def write_json(self, name: str, obj: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)

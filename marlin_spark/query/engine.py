@@ -141,9 +141,9 @@ class SearchEngine:
         self._load_live_state()
 
     def _delta_dirs(self, name: str) -> list[str]:
-        import glob
-
-        return sorted(glob.glob(self.cat.path(f"{name}_delta/batch=*")))
+        # only fully-committed batches (postings AND docs _SUCCESS):
+        # crash-consistency gate for NRT visibility
+        return self.cat.committed_delta_dirs(name)
 
     def _postings_df(self) -> DataFrame:
         """Base postings UNIONed with any uncompacted streaming delta
@@ -969,10 +969,36 @@ class SearchEngine:
                 kernel, RANK_SCHEMA
             )
         if field is not None:
+            # semi-join-with-payload against the compare field: only the
+            # surviving feature docids reach the sort. The match set is
+            # bounded at plan time by the matched terms' summed df, so a
+            # provably-small feature side broadcasts INTO the streaming
+            # docs scan (at scale docs/ is the huge side — round-2
+            # verdict item #3; without the bound AQE would happily
+            # broadcast docs on a small index and shuffle both at 100TB)
             docs = self._docs_df().select(
                 "docid", F.col(field).cast("double").alias("compare")
             )
-            feats = feats.join(docs, "docid")
+            est = None
+            if words:
+                try:
+                    est = sum(
+                        r["df"]
+                        for r in self._dictionary_lookup(
+                            sorted({t for t in (term_meta or {})}), []
+                        )
+                    )
+                except Exception:
+                    est = None
+            left = (
+                F.broadcast(feats)
+                if est is not None and est <= self.cfg.rank_broadcast_df
+                else feats
+            )
+            feats = left.join(docs, "docid")
+        # orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
+        # top-k + driver merge, never a full global sort (sort.c partial
+        # sort analog; asserted in tests/test_plans.py)
         ranked = order_by_rules(feats, full_rules, ascending).limit(k)
         return ranked if explain else ranked.select("docid")
 

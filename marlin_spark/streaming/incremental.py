@@ -228,10 +228,8 @@ class IncrementalIndexer:
 
     # ------------------------------------------------------------------
     def _all_docs(self) -> DataFrame:
-        import glob
-
         base = self.cat.read(self.spark, "docs")
-        deltas = sorted(glob.glob(self.cat.path("docs_delta/batch=*")))
+        deltas = self.cat.committed_delta_dirs("docs")
         if deltas:
             dd = self.spark.read.parquet(*deltas).withColumn(
                 "range_id", (F.col("docid") / self.cfg.range_size).cast("int")
@@ -265,11 +263,12 @@ class IncrementalIndexer:
     def compact(self) -> None:
         """Fold delta segments + tombstones into the base and refresh
         dictionary/stats (segment merge; Iceberg MERGE INTO analog)."""
-        import glob
         import shutil
 
-        delta_dirs = sorted(glob.glob(self.cat.path("postings_delta/batch=*")))
-        doc_deltas = sorted(glob.glob(self.cat.path("docs_delta/batch=*")))
+        # fold only fully-committed batches; a half-written (crashed)
+        # batch dir is left in place for the streaming retry to overwrite
+        delta_dirs = self.cat.committed_delta_dirs("postings")
+        doc_deltas = self.cat.committed_delta_dirs("docs")
         tomb = self._tombstones()
         if not delta_dirs and not doc_deltas and tomb is None:
             return

@@ -107,6 +107,20 @@ def test_bm25_df_wholestage_codegen(spark):
     assert "TakeOrderedAndProject" in plan_str
 
 
+def test_search_ranked_sort_by_scale_shape(engine):
+    """sortBy/rankBy path (round-2 verdict item #3): the compare-field
+    join must broadcast the (plan-time-bounded) FEATURE side into the
+    docs scan — not the docs side — and the global order must be a
+    TakeOrderedAndProject (per-partition top-m + merge), never a full
+    sort."""
+    df = engine.search_ranked("worst", k=5, sort_by="turn_idx")
+    plan_str = _plan(df)
+    assert "TakeOrderedAndProject" in plan_str
+    assert "BroadcastHashJoin" in plan_str
+    # feats is the left/build side: BuildLeft, so docs/ streams
+    assert "BuildLeft" in plan_str
+
+
 def test_simhash_pair_join_is_banded_hash_join(spark):
     """dd_simhash must candidate-generate via a band-equality hash join:
     a BroadcastNestedLoopJoin / CartesianProduct over doc_id< is O(n^2)

@@ -127,3 +127,55 @@ def test_lineage_records_have_counters(grouped_index):
     assert total_postings > 0
     assert recs["dictionary"]["counters"]["merge_fan_in"] > 0
     assert all("finished_at" in r for r in recs.values())
+
+
+# ------------------------------------------------- streaming crash-resume
+def test_crashed_micro_batch_invisible_then_retry_recovers(
+    spark, tiny_index, tmp_path
+):
+    """Round-2 verdict item #8: a micro-batch that crashes between its
+    postings_delta and docs_delta writes must leave the index searchable
+    WITHOUT ghost hits; re-running the same batch_id (the streaming
+    retry from the checkpoint) yields a duplicate-free index, and
+    compact() folds the batch exactly once."""
+    import datetime as dt
+    import os
+
+    from marlin_spark.streaming.incremental import IncrementalIndexer
+
+    base_dir, cfg, _ = tiny_index
+    d = str(tmp_path / "crash_idx")
+    shutil.copytree(base_dir, d)
+    inc = IncrementalIndexer(spark, d, cfg)
+    batch = spark.createDataFrame(
+        [("crashconv", 0, "user", "worst crashed batch", None,
+          dt.datetime(2025, 2, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    inc.process_batch(batch, batch_id=3)
+    # simulate a crash AFTER postings_delta committed but BEFORE the
+    # docs_delta write finished
+    os.remove(os.path.join(d, "docs_delta/batch=3/_SUCCESS"))
+
+    eng = SearchEngine(spark, d, cfg)
+    hits = eng.search("worst", k=100, use_wand=False)
+    hyd = eng.hydrate(hits).collect()
+    # no ghost hits: every scored docid hydrates to a stored doc
+    assert hits.count() == len(hyd)
+    assert all(r["text"] != "worst crashed batch" for r in hyd)
+
+    # streaming retry: same batch_id overwrites both delta dirs
+    inc.process_batch(batch, batch_id=3)
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("worst", k=100, use_wand=False)).collect()
+    assert sum(1 for r in hyd if r["text"] == "worst crashed batch") == 1
+
+    inc.compact()
+    eng = SearchEngine(spark, d, cfg)
+    hyd = eng.hydrate(eng.search("worst", k=100, use_wand=False)).collect()
+    assert sum(1 for r in hyd if r["text"] == "worst crashed batch") == 1
+    # the folded batch's delta dirs are gone (no double-fold on a later
+    # compact), and no half-committed leftovers remain
+    assert not os.path.exists(os.path.join(d, "docs_delta/batch=3"))
+    assert not os.path.exists(os.path.join(d, "postings_delta/batch=3"))
