@@ -639,6 +639,45 @@ def dd_exact(spark, sf_dir):
 
 
 @register(
+    "dd_exact_keep_first",
+    """WITH h AS (SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM documents),
+r AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM h)
+SELECT doc_id FROM r WHERE rn > 1 ORDER BY doc_id""",
+)
+def dd_exact_keep_first(spark, sf_dir):
+    """Dedup representative selection: keep the first doc of each
+    duplicate group (40-char-prefix fingerprint — the synthetic corpus
+    has no full-text dups at small SF), emit the DROPPED ids (the
+    ANDNOT/delete list a training pipeline feeds downstream). Window per
+    hash — shuffles once on the hash key, no self-join."""
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr("md5(substr(text, 1, 40))").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ft_doc_size_stats",
+    """SELECT min(length(text))::BIGINT AS min_len, max(length(text))::BIGINT AS max_len,
+round(avg(length(text)), 6) AS avg_len, count(*)::BIGINT AS n FROM documents""",
+)
+def ft_doc_size_stats(spark, sf_dir):
+    """Doc-size stats (SURVEY §2.5; reference exposes stored-blob size
+    stats per index — sdata blob accounting, sdata.c:162-181)."""
+    return _docs(spark, sf_dir).agg(
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "dd_ngram_jaccard",
     f"""WITH {_SHINGLE_CTES},
 pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
