@@ -177,27 +177,34 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         dt = time.time() - t0
         log(f"  batch[{rep}]: {n_q}q in {dt:.1f}s = {n_q/dt:.1f} q/s")
         batch_s = dt if batch_s is None else min(batch_s, dt)
-    # exact-path comparison point (full scoring, big shuffle)
-    t0 = time.time()
-    eng.search_many(dict(list(qs.items())[:50]), k=10).count()
-    batch_exact_s = (time.time() - t0) * (n_q / 50)  # normalized to n_q
-    # single-query latency (distributed WAND path)
+    # auxiliary latency phases (exact batch, distributed single, driver-
+    # local): skippable for scaling runs — the north-rule metric is build
+    # turns/s + batched WAND q/s, and the exact batch alone costs minutes
+    # at 20M turns
+    skip_aux = os.environ.get("SPARK_GRAFT_SKIP_AUX") == "1"
+    batch_exact_s = single_s = local_qps = None
     singles = list(bench_queries(10, seed=11).values())
-    t0 = time.time()
-    for q in singles:
-        eng.search(q, k=10, use_wand=True).collect()
-    single_s = time.time() - t0
-    # single-query latency (driver-local fast path: pyarrow + numpy WAND,
-    # no Spark job — the reference-comparable ms-level path)
-    eng.search_local(singles[0], k=10)  # warm pyarrow dataset
-    t0 = time.time()
-    for q in singles * 5:
-        eng.search_local(q, k=10)
-    local_s = time.time() - t0
-    local_qps = len(singles) * 5 / local_s
+    if not skip_aux:
+        # exact-path comparison point (full scoring, big shuffle)
+        t0 = time.time()
+        eng.search_many(dict(list(qs.items())[:50]), k=10).count()
+        batch_exact_s = (time.time() - t0) * (n_q / 50)  # normalized to n_q
+        # single-query latency (distributed WAND path)
+        t0 = time.time()
+        for q in singles:
+            eng.search(q, k=10, use_wand=True).collect()
+        single_s = time.time() - t0
+        # single-query latency (driver-local fast path: pyarrow + numpy
+        # WAND, no Spark job — the reference-comparable ms-level path)
+        eng.search_local(singles[0], k=10)  # warm pyarrow dataset
+        t0 = time.time()
+        for q in singles * 5:
+            eng.search_local(q, k=10)
+        local_s = time.time() - t0
+        local_qps = len(singles) * 5 / local_s
     log(
-        f"  query: batch {n_q}q in {batch_s:.1f}s = {n_q/batch_s:.1f} q/s; "
-        f"single {len(singles)}q in {single_s:.1f}s = {len(singles)/single_s:.2f} q/s"
+        f"  query: batch {n_q}q in {batch_s:.1f}s = {n_q/batch_s:.1f} q/s"
+        + (f"; single {len(singles)/single_s:.2f} q/s" if single_s else "")
     )
     return {
         "n_turns": int(n_turns),
@@ -205,9 +212,9 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         "stage_seconds": counters.get("stage_seconds"),
         "build_turns_per_sec": round(n_turns / build_s, 1),
         "bm25_batch_qps": round(n_q / batch_s, 2),
-        "bm25_batch_exact_qps": round(n_q / batch_exact_s, 2),
-        "bm25_single_qps": round(len(singles) / single_s, 2),
-        "bm25_local_qps": round(local_qps, 1),
+        "bm25_batch_exact_qps": round(n_q / batch_exact_s, 2) if batch_exact_s else None,
+        "bm25_single_qps": round(len(singles) / single_s, 2) if single_s else None,
+        "bm25_local_qps": round(local_qps, 1) if local_qps else None,
         "postings_emitted": counters.get("postings_emitted"),
         "blocks_built": counters.get("blocks_built"),
         "bytes_postings": counters.get("bytes_postings"),

@@ -67,14 +67,55 @@ class Cluster:
         self.mem_gb = mem_gb
         self.shm = shm
 
+    @staticmethod
+    def _kill_stragglers() -> None:
+        """No master/worker JVM may survive between levels: a leaked
+        worker keeps its core pinning and REGISTERS WITH THE NEXT
+        MASTER, so executors double up on some 8-core ranges while
+        others idle — exactly the contamination that invalidated the
+        first 20M measurements. Belt and braces: SIGKILL by class name,
+        then verify the master port is actually free."""
+        subprocess.run(
+            ["pkill", "-9", "-f", "org.apache.spark.deploy.worker.Worker"],
+            check=False,
+        )
+        subprocess.run(
+            ["pkill", "-9", "-f", "org.apache.spark.deploy.master.Master"],
+            check=False,
+        )
+        deadline = time.time() + 20
+        import socket
+
+        while time.time() < deadline:
+            with socket.socket() as s:
+                if s.connect_ex(("127.0.0.1", 7077)) != 0:
+                    return
+            time.sleep(1)
+        raise RuntimeError("port 7077 still bound by a leaked master")
+
+    def _registered_workers(self) -> int:
+        import json as _json
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                "http://127.0.0.1:8090/json/", timeout=5
+            ) as r:
+                data = _json.load(r)
+            return sum(1 for w in data.get("workers", [])
+                       if w.get("state") == "ALIVE")
+        except Exception:
+            return -1
+
     def start(self) -> None:
+        self._kill_stragglers()
         env = dict(os.environ, SPARK_NO_DAEMONIZE="1")
         self.procs.append(
             subprocess.Popen(
                 [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
                  "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8090"],
                 env=env, stdout=open(f"{self.shm}/master.log", "w"),
-                stderr=subprocess.STDOUT,
+                stderr=subprocess.STDOUT, start_new_session=True,
             )
         )
         time.sleep(4)
@@ -97,21 +138,41 @@ class Cluster:
                 subprocess.Popen(
                     cmd, env=wenv,
                     stdout=open(f"{wdir}.log", "w"),
-                    stderr=subprocess.STDOUT,
+                    stderr=subprocess.STDOUT, start_new_session=True,
                 )
             )
-        # wait for registration
-        time.sleep(6)
+        # wait until EXACTLY n_workers are registered ALIVE — more means
+        # stragglers (contaminated placement), fewer means not ready
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = self._registered_workers()
+            if n == self.n_workers:
+                log(f"cluster up: {n} workers registered")
+                return
+            time.sleep(2)
+        raise RuntimeError(
+            f"expected {self.n_workers} ALIVE workers, saw "
+            f"{self._registered_workers()}"
+        )
 
     def stop(self) -> None:
+        import signal
+
         for p in reversed(self.procs):
-            p.terminate()
+            try:
+                os.killpg(p.pid, signal.SIGTERM)
+            except Exception:
+                p.terminate()
         for p in self.procs:
             try:
                 p.wait(timeout=20)
             except subprocess.TimeoutExpired:
-                p.kill()
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except Exception:
+                    p.kill()
         self.procs = []
+        self._kill_stragglers()
 
 
 # ------------------------------------------------------------ level run
@@ -137,6 +198,20 @@ def run_level(args) -> None:
             "spark.sql.files.openCostInBytes": "1048576",
         },
     )
+    # sanity gate: exactly cores/cores_per_worker executors, one per
+    # worker — a mis-registered topology must fail, not mis-measure
+    want = args.cores // args.cores_per_worker
+    deadline = time.time() + 60
+    n_exec = -1
+    while time.time() < deadline:
+        n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+        if n_exec == want:
+            break
+        time.sleep(2)
+    if n_exec != want:
+        spark.stop()
+        raise RuntimeError(f"expected {want} executors, saw {n_exec}")
+    log(f"level up: {n_exec} executors x {args.cores_per_worker} cores")
     import tempfile
 
     with tempfile.TemporaryDirectory(
@@ -200,6 +275,7 @@ def main() -> None:
                    "--turns", str(args.turns), "--input-dir", corpus,
                    "--shm", shm]
             env = dict(os.environ, SPARK_DRIVER_MEM="16g",
+                       SPARK_GRAFT_SKIP_AUX="1",
                        SPARK_GRAFT_BATCH_QUERIES=os.environ.get(
                            "SPARK_GRAFT_BATCH_QUERIES", "1000"))
             with open(f"BENCH/standalone_level_w{workers}.log", "w") as errf:
