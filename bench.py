@@ -159,6 +159,7 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
             f"{c['n_docs']/dt:.0f} turns/s {c['stage_seconds']}"
         )
         log("    phase-ms: " + str({k: v for k, v in c.items() if k.startswith("ms_")}))
+        log("    phase-cpu: " + str({k: v for k, v in c.items() if k.startswith("cpu_")}))
         if build_s is None or dt < build_s:
             build_s, counters = dt, c
     n_turns = counters["n_docs"]
