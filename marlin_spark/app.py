@@ -51,6 +51,7 @@ class MarlinApp:
         config: EngineConfig | None = None,
         build_id: str = "build-0",
         auto_mapping: bool = False,
+        api_key: str | None = None,
     ) -> dict:
         """Create (or rebuild) a named index from a transcript DataFrame.
         Reference analog: POST /1/indexes + document batch add
@@ -59,6 +60,7 @@ class MarlinApp:
         auto_mapping=True learns indexed_fields from the data before the
         first build — the reference's dynamic mapping discovery
         (mapping.c:537-601; see index/mapping.py)."""
+        self._authorize(api_key, "index", name)
         if auto_mapping:
             from marlin_spark.index.mapping import (
                 config_from_mapping,
@@ -79,8 +81,9 @@ class MarlinApp:
         self._engines.pop(name, None)  # drop any stale engine snapshot
         return counters
 
-    def delete_index(self, name: str) -> bool:
+    def delete_index(self, name: str, api_key: str | None = None) -> bool:
         """Drop a named index (app.c index delete handler)."""
+        self._authorize(api_key, "index", name)
         path = self.index_path(name)
         self._engines.pop(name, None)
         if not os.path.exists(path):
@@ -99,9 +102,89 @@ class MarlinApp:
             self._engines[name] = eng
         return eng
 
+    # ------------------------------------------------------------- keys
+    # Reference: every request carries X-Marlin-API-Key, validated
+    # against the app's api key or the per-index keys with allowed
+    # operations (api.c:161-215, app.c key handlers). Keys live in the
+    # app dir (keys.json); enforcement turns on once any key exists.
+    SCOPES = ("query", "index", "admin")
+
+    def _keys_path(self) -> str:
+        return os.path.join(self.dir, "keys.json")
+
+    def _load_keys(self) -> dict:
+        import json
+
+        try:
+            with open(self._keys_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def create_api_key(
+        self,
+        scopes: tuple = ("query",),
+        indexes: list[str] | None = None,
+        description: str = "",
+    ) -> str:
+        """Mint a key limited to ``scopes`` and (optionally) ``indexes``
+        (None = all). Returns the key string; store it — only its hash
+        would survive a real deployment, here it is kept verbatim like
+        the reference's LMDB-stored keys."""
+        import json
+        import secrets
+
+        bad = set(scopes) - set(self.SCOPES)
+        if bad or not scopes:
+            raise ValueError(f"scopes must be among {self.SCOPES}, got {scopes}")
+        key = secrets.token_hex(16)
+        keys = self._load_keys()
+        keys[key] = {
+            "scopes": sorted(scopes),
+            "indexes": sorted(indexes) if indexes is not None else None,
+            "description": description,
+        }
+        with open(self._keys_path(), "w") as f:
+            json.dump(keys, f, indent=1)
+        return key
+
+    def delete_api_key(self, key: str) -> bool:
+        import json
+
+        keys = self._load_keys()
+        if key not in keys:
+            return False
+        del keys[key]
+        with open(self._keys_path(), "w") as f:
+            json.dump(keys, f, indent=1)
+        return True
+
+    def check_key(self, key: str | None, scope: str, index: str | None = None) -> bool:
+        """True iff the request may proceed: no keys configured = open
+        app (the reference's no-auth dev mode); otherwise the key must
+        exist, carry the scope, and cover the index."""
+        keys = self._load_keys()
+        if not keys:
+            return True
+        meta = keys.get(key or "")
+        if meta is None:
+            return False
+        if scope not in meta["scopes"] and "admin" not in meta["scopes"]:
+            return False
+        if index is not None and meta["indexes"] is not None:
+            return index in meta["indexes"]
+        return True
+
+    def _authorize(self, key: str | None, scope: str, index: str | None) -> None:
+        if not self.check_key(key, scope, index):
+            raise PermissionError(
+                f"api key not authorized for {scope} on {index!r}"
+            )
+
     # ------------------------------------------------------------ query
-    def query(self, index_name: str, q: str, **kw) -> DataFrame:
+    def query(self, index_name: str, q: str, api_key: str | None = None, **kw) -> DataFrame:
         """Route one query to its index (app_index_query analog)."""
+        self._authorize(api_key, "query", index_name)
         return self.get_index(index_name).search(q, **kw)
 
     def multi_query(self, requests: list[dict]) -> list[dict]:

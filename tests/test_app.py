@@ -58,3 +58,32 @@ def test_bad_names_rejected(app):
     for bad in ("", "a/b", "..", "x\\y"):
         with pytest.raises(ValueError):
             app.index_path(bad)
+
+
+def test_api_keys_scope_and_index_limits(app):
+    """API-key surface (reference api.c:161-215): no keys = open app;
+    once keys exist, scope + index limits enforce on query and index
+    ops; delete revokes."""
+    import pytest as _pytest
+
+    assert app.check_key(None, "query")  # open before any key exists
+    qkey = app.create_api_key(scopes=("query",), indexes=["alpha"])
+    admin = app.create_api_key(scopes=("admin",))
+    # enforcement now on: no key -> denied
+    with _pytest.raises(PermissionError):
+        app.query("alpha", "the", k=2)
+    assert app.query("alpha", "the", k=2, api_key=qkey).count() == 2
+    # wrong index for the scoped key
+    with _pytest.raises(PermissionError):
+        app.query("beta", "the", k=2, api_key=qkey)
+    # query-only key cannot manage indexes; admin can do anything
+    # (beta was dropped by an earlier test in this shared app fixture)
+    with _pytest.raises(PermissionError):
+        app.delete_index("alpha", api_key=qkey)
+    assert app.query("alpha", "the", k=2, api_key=admin).count() == 2
+    # revocation restores denial, then removing all keys reopens
+    assert app.delete_api_key(qkey)
+    with _pytest.raises(PermissionError):
+        app.query("alpha", "the", k=2, api_key=qkey)
+    assert app.delete_api_key(admin)
+    assert app.query("alpha", "the", k=2).count() == 2
