@@ -121,25 +121,36 @@ class MarlinApp:
         except FileNotFoundError:
             return {}
 
+    @staticmethod
+    def _hash_key(key: str) -> str:
+        import hashlib
+
+        return hashlib.sha256(key.encode()).hexdigest()
+
     def create_api_key(
         self,
         scopes: tuple = ("query",),
         indexes: list[str] | None = None,
         description: str = "",
+        api_key: str | None = None,
     ) -> str:
         """Mint a key limited to ``scopes`` and (optionally) ``indexes``
-        (None = all). Returns the key string; store it — only its hash
-        would survive a real deployment, here it is kept verbatim like
-        the reference's LMDB-stored keys."""
+        (None = all). Returns the key string; only its sha256 is stored
+        (keys.json never holds a usable credential). Key management is
+        itself admin-scoped once any key exists — the reference routes
+        key CRUD through admin-key-authenticated handlers
+        (api.c:161-215); the very first key is mintable without auth
+        (bootstrap, = the reference's generated master key)."""
         import json
         import secrets
 
+        self._authorize(api_key, "admin", None)
         bad = set(scopes) - set(self.SCOPES)
         if bad or not scopes:
             raise ValueError(f"scopes must be among {self.SCOPES}, got {scopes}")
         key = secrets.token_hex(16)
         keys = self._load_keys()
-        keys[key] = {
+        keys[self._hash_key(key)] = {
             "scopes": sorted(scopes),
             "indexes": sorted(indexes) if indexes is not None else None,
             "description": description,
@@ -148,13 +159,15 @@ class MarlinApp:
             json.dump(keys, f, indent=1)
         return key
 
-    def delete_api_key(self, key: str) -> bool:
+    def delete_api_key(self, key: str, api_key: str | None = None) -> bool:
         import json
 
+        self._authorize(api_key, "admin", None)
         keys = self._load_keys()
-        if key not in keys:
+        h = self._hash_key(key)
+        if h not in keys:
             return False
-        del keys[key]
+        del keys[h]
         with open(self._keys_path(), "w") as f:
             json.dump(keys, f, indent=1)
         return True
@@ -166,7 +179,7 @@ class MarlinApp:
         keys = self._load_keys()
         if not keys:
             return True
-        meta = keys.get(key or "")
+        meta = keys.get(self._hash_key(key or ""))
         if meta is None:
             return False
         if scope not in meta["scopes"] and "admin" not in meta["scopes"]:

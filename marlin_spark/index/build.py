@@ -175,6 +175,7 @@ class IndexBuilder:
                 "block_size": self.cfg.block_size,
                 "range_size": self.cfg.range_size,
                 "n_term_buckets": self.cfg.n_term_buckets,
+                "indexed_fields": list(self.cfg.indexed_fields),
                 "batch_capacity": self.cfg.batch_capacity,
                 "max_docid": int(row["n"]),
                 "build_id": mf.build_id,

@@ -84,6 +84,12 @@ class SearchEngine:
             b=self.stats.get("b", cfg.b),
             analyzer=self.stats.get("analyzer", cfg.analyzer),
             n_term_buckets=self.stats.get("n_term_buckets", cfg.n_term_buckets),
+            # learned/declared mapping travels with the index: a rebuild
+            # or streaming add must tokenize the SAME fields the base
+            # build did (reference persists its mapping, mapping.c:537-601)
+            indexed_fields=tuple(
+                self.stats.get("indexed_fields", cfg.indexed_fields)
+            ),
         )
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
@@ -241,9 +247,14 @@ class SearchEngine:
             # term range scan over sorted dictionary files (dtrie subtree
             # walk analog, /root/reference/src/main/dtrie.c:642-700);
             # fc partition prune: matching terms start with p[0] unless
-            # they contain a non-token char (-> oth partition)
+            # they contain a non-token char (-> oth partition). An EMPTY
+            # prefix matches every term, so it must skip the fc predicate
+            # entirely (pruning to oth-only would drop all ASCII terms).
+            if not p:
+                conds.append(F.lit(True))
+                continue
             pfcs = [OTHER_FC]
-            c = fc_of_char(p[0]) if p else None
+            c = fc_of_char(p[0])
             if c is not None:
                 pfcs.append(c)
             conds.append(F.col("fc").isin(sorted(pfcs)) & F.col("term").startswith(p))
@@ -990,9 +1001,17 @@ class SearchEngine:
                     )
                 except Exception:
                     est = None
+            # the df bound comes from the BASE dictionary only (df
+            # refreshes at compaction) — with uncompacted streaming
+            # deltas the match set can exceed it, and F.broadcast
+            # bypasses AQE's size check, so skip the forced broadcast
+            # and let AQE decide from actual sizes instead
+            deltas_pending = bool(self._delta_dirs("postings"))
             left = (
                 F.broadcast(feats)
-                if est is not None and est <= self.cfg.rank_broadcast_df
+                if est is not None
+                and est <= self.cfg.rank_broadcast_df
+                and not deltas_pending
                 else feats
             )
             feats = left.join(docs, "docid")

@@ -91,10 +91,26 @@ class FuzzyFilter:
         self.ranges |= other.ranges
 
 
+# every fc partition value that exists: a filter scanning ALL of them is
+# the correct-but-unpruned degenerate (= full dictionary scan)
+ALL_FCS = frozenset(fc_of_char(c) for c in ALNUM) | {OTHER_FC}
+
+
 def spec_filter(word: str, prefix: bool, d: int) -> FuzzyFilter:
-    """Pushable superset filter for one (word, prefix-mode, maxdist)."""
+    """Pushable superset filter for one (word, prefix-mode, maxdist).
+
+    The d==2 enumeration below assumes the reference's length tiers
+    (w[0..2] defined, dtrie.c:766-770). Specs outside those tiers —
+    d > 2, or a word shorter than d+1 chars — degrade to a full
+    partition scan instead of silently UNDER-approximating (e.g. 'x' is
+    OSA distance 2 from 'ab' yet no front-edit enumeration admits it);
+    the exact-superset contract must hold for every caller of
+    _docids_for, not just analyzer-produced specs."""
     f = FuzzyFilter()
     if not word:
+        return f
+    if d >= 1 and (d > 2 or len(word) < d + 1):
+        f.partitions |= ALL_FCS
         return f
     if d == 0:
         if prefix:

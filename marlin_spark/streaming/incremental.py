@@ -57,8 +57,24 @@ class IncrementalIndexer:
     def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig | None = None):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        self.cfg = config or EngineConfig()
+        cfg = config or EngineConfig()
         self.stats = self.cat.read_json("stats.json")
+        # restore the index's persisted mapping/analyzer so streamed
+        # batches tokenize exactly like the base build — an auto-mapped
+        # index (app.py create_index(auto_mapping=True)) would otherwise
+        # silently index only the default 'text' field (the reference
+        # gates every write on its persisted mapping, mapping.c:537-601)
+        self.cfg = cfg.with_(
+            k1=self.stats.get("k1", cfg.k1),
+            b=self.stats.get("b", cfg.b),
+            analyzer=self.stats.get("analyzer", cfg.analyzer),
+            n_term_buckets=self.stats.get("n_term_buckets", cfg.n_term_buckets),
+            block_size=self.stats.get("block_size", cfg.block_size),
+            range_size=self.stats.get("range_size", cfg.range_size),
+            indexed_fields=tuple(
+                self.stats.get("indexed_fields", cfg.indexed_fields)
+            ),
+        )
 
     # ------------------------------------------------------------- add
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -128,9 +144,14 @@ class IncrementalIndexer:
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             self.cat.path(f"postings_delta/batch={batch_id}")
         )
-        docs.select(
-            "docid", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl"
-        ).write.mode("overwrite").parquet(self.cat.path(f"docs_delta/batch={batch_id}"))
+        # carry EVERY source column (not just the default transcript
+        # schema): _docs_df() selects the base docs schema from deltas,
+        # so an auto-mapped index with extra stored fields must find
+        # them here too (mirrors build.py's `keep` columns)
+        keep = [c for c in docs.columns if c not in ("dl", "range_id", "docid")]
+        docs.select("docid", *keep, "dl").write.mode("overwrite").parquet(
+            self.cat.path(f"docs_delta/batch={batch_id}")
+        )
 
     # ------------------------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint: str):

@@ -67,9 +67,20 @@ def test_api_keys_scope_and_index_limits(app):
     import pytest as _pytest
 
     assert app.check_key(None, "query")  # open before any key exists
-    qkey = app.create_api_key(scopes=("query",), indexes=["alpha"])
+    # bootstrap: the FIRST key mints without auth (reference master key)
     admin = app.create_api_key(scopes=("admin",))
-    # enforcement now on: no key -> denied
+    # enforcement now on: key management itself requires admin
+    with _pytest.raises(PermissionError):
+        app.create_api_key(scopes=("query",))
+    qkey = app.create_api_key(
+        scopes=("query",), indexes=["alpha"], api_key=admin
+    )
+    # a query-scoped key cannot mint or revoke keys either
+    with _pytest.raises(PermissionError):
+        app.create_api_key(scopes=("admin",), api_key=qkey)
+    with _pytest.raises(PermissionError):
+        app.delete_api_key(admin, api_key=qkey)
+    # no key -> denied
     with _pytest.raises(PermissionError):
         app.query("alpha", "the", k=2)
     assert app.query("alpha", "the", k=2, api_key=qkey).count() == 2
@@ -81,9 +92,14 @@ def test_api_keys_scope_and_index_limits(app):
     with _pytest.raises(PermissionError):
         app.delete_index("alpha", api_key=qkey)
     assert app.query("alpha", "the", k=2, api_key=admin).count() == 2
+    # keys.json stores only sha256 digests, never the credential
+    import json as _json
+
+    stored = _json.load(open(app._keys_path()))
+    assert qkey not in stored and admin not in stored
     # revocation restores denial, then removing all keys reopens
-    assert app.delete_api_key(qkey)
+    assert app.delete_api_key(qkey, api_key=admin)
     with _pytest.raises(PermissionError):
         app.query("alpha", "the", k=2, api_key=qkey)
-    assert app.delete_api_key(admin)
+    assert app.delete_api_key(admin, api_key=admin)
     assert app.query("alpha", "the", k=2).count() == 2

@@ -78,3 +78,40 @@ def test_app_auto_mapping_builds_and_persists(spark, tmp_path, mixed_df):
     eng = app.get_index("auto")
     # a word appearing only in the note field IS indexed
     assert eng.search("describing", k=5, use_wand=False).count() > 0
+
+
+def test_learned_mapping_survives_reload(spark, tmp_path, mixed_df):
+    """ADVICE r3 (medium): indexed_fields learned by auto_mapping must be
+    PERSISTED (stats.json) and restored by SearchEngine AND
+    IncrementalIndexer constructed with a default config — otherwise a
+    streaming add or rebuild silently indexes only the default 'text'
+    field, diverging from the base index (reference persists its learned
+    mapping and gates every write on it, mapping.c:537-601)."""
+    from marlin_spark.app import MarlinApp
+    from marlin_spark.query.engine import SearchEngine
+    from marlin_spark.streaming.incremental import IncrementalIndexer
+
+    app = MarlinApp(spark, str(tmp_path / "reload_app"))
+    app.create_index(
+        "r", mixed_df, EngineConfig(block_size=16, range_size=64),
+        auto_mapping=True,
+    )
+    path = app.index_path("r")
+    # fresh engine, default config: learned fields restored from stats
+    eng = SearchEngine(spark, path)
+    assert eng.cfg.indexed_fields == ("text", "note")
+    idx = IncrementalIndexer(spark, path)
+    assert idx.cfg.indexed_fields == ("text", "note")
+    # and a streamed batch actually indexes the learned note field
+    batch = spark.createDataFrame(
+        [("conv-new", 0, "user",
+          "alpha words only", "note holds zanzibar keyword", 1.0, False,
+          __import__("datetime").datetime(2024, 6, 1), ["tag0"])],
+        mixed_df.schema,
+    )
+    idx.process_batch(batch, batch_id=0)
+    # zanzibar is a brand-new term: invisible until the dictionary
+    # rebuild (documented NRT trade) — compact folds the delta in
+    idx.compact()
+    eng.refresh()
+    assert eng.search("zanzibar", k=5, use_wand=False).count() == 1
