@@ -63,6 +63,13 @@ class EngineConfig:
     prefix_accel: bool = False
     prefix_accel_len: int = 3
 
+    # Driver-local fast path (search_local): per-term-bucket posting
+    # tables are cached IN MEMORY after first touch, LRU-evicted above
+    # this byte budget. This is the reference's whole-index-mmap analog
+    # (its OS page cache holds hot postings); at 100 TB the budget
+    # bounds the driver to the hot buckets only.
+    local_cache_bytes: int = 256 * 1024 * 1024
+
     # search_ranked broadcasts the feature side of the sortBy/rankBy
     # compare-field join when the matched terms' summed df (a plan-time
     # upper bound on the match set) is at most this many docs; bigger

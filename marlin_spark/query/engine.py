@@ -104,6 +104,13 @@ class SearchEngine:
         import numpy as np
 
         self._df_cache: dict = {}
+        # per-epoch pyarrow caches for the driver-local fast path
+        # (round-3 verdict item #1: re-running hive discovery + footer
+        # reads per query regressed bm25_local_qps 63 -> 16; both caches
+        # reset here, i.e. at construction and refresh())
+        self._pads_cache: dict = {}          # name/path -> pads.Dataset
+        self._bucket_cache: "dict[int, object]" = {}  # bucket -> Table (LRU)
+        self._bucket_cache_bytes = 0
         self._stats_epoch = self.stats.get("stats_epoch", 0)
         # short-prefix accelerator: available iff built for this index
         self._accel_len = (
@@ -278,9 +285,7 @@ class SearchEngine:
         from marlin_spark.query.fuzzy import term_fc_py
 
         fcs = sorted({term_fc_py(t) for t in terms})
-        dataset = pads.dataset(
-            self.cat.path("dictionary"), partitioning="hive", format="parquet"
-        )
+        dataset = self._arrow_dataset("dictionary", self.cat.path("dictionary"))
         tbl = dataset.to_table(
             columns=["term", "df"],
             filter=pads.field("fc").isin(fcs)
@@ -437,7 +442,7 @@ class SearchEngine:
         }
         self._last_wand_counters = acc
         blocks = self._matched_blocks(plan).select(
-            "term", "range_id", "block_id", "max_tfnorm", "postings"
+            "term", "range_id", "block_id", "n_docs", "max_tfnorm", "postings"
         )
         n_part = max(
             1,
@@ -624,7 +629,60 @@ class SearchEngine:
             return [(r["docid"], r["score"]) for r in df.collect()]
         return self._local_topk(plan)
 
+    _LOCAL_COLS = ["term", "range_id", "block_id", "n_docs", "max_tfnorm", "postings"]
+
+    def _arrow_dataset(self, key: str, path: str):
+        """Memoized pyarrow dataset (file discovery + schema) per stats
+        epoch — the cache lives in _load_live_state so construction and
+        refresh() both reset it."""
+        ds = self._pads_cache.get(key)
+        if ds is None:
+            import pyarrow.dataset as pads
+
+            ds = self._pads_cache[key] = pads.dataset(
+                path, partitioning="hive", format="parquet"
+            )
+        return ds
+
+    def _bucket_table(self, bucket: int):
+        """In-memory posting blocks of one term bucket (BM25 columns
+        only — positions stay pruned), term-sorted with a term -> row
+        span index so a query term's blocks are an O(1) dict hit + zero-
+        copy slice. First touch reads the bucket's parquet once; LRU-
+        bounded by cfg.local_cache_bytes. Returns (table, spans)."""
+        entry = self._bucket_cache.pop(bucket, None)
+        if entry is None:
+            import pyarrow.dataset as pads
+
+            tbl = self._arrow_dataset(
+                "postings", self.cat.path("postings")
+            ).to_table(
+                columns=self._LOCAL_COLS,
+                filter=pads.field("bucket") == bucket,
+            ).sort_by(
+                [("term", "ascending"), ("range_id", "ascending"),
+                 ("block_id", "ascending")]
+            )
+            spans: dict[str, tuple[int, int]] = {}
+            terms = tbl["term"].to_pylist()
+            lo = 0
+            for i in range(1, len(terms) + 1):
+                if i == len(terms) or terms[i] != terms[lo]:
+                    spans[terms[lo]] = (lo, i)
+                    lo = i
+            entry = (tbl, spans)
+            self._bucket_cache_bytes += tbl.nbytes
+            while (
+                self._bucket_cache
+                and self._bucket_cache_bytes > self.cfg.local_cache_bytes
+            ):
+                oldest = next(iter(self._bucket_cache))  # LRU via dict order
+                self._bucket_cache_bytes -= self._bucket_cache.pop(oldest)[0].nbytes
+        self._bucket_cache[bucket] = entry  # (re)insert = most recent
+        return entry
+
     def _local_topk(self, plan: QueryPlan) -> list[tuple[int, float]]:
+        import pyarrow as pa
         import pyarrow.dataset as pads
 
         from marlin_spark.query.wand import make_wand_scorer
@@ -633,22 +691,28 @@ class SearchEngine:
         buckets = sorted(
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
         )
-        cols = ["term", "range_id", "block_id", "max_tfnorm", "postings"]
+        tbls = []
+        for b in buckets:
+            tbl, spans = self._bucket_table(b)
+            for t in terms:
+                span = spans.get(t)
+                if span is not None:
+                    tbls.append(tbl.slice(span[0], span[1] - span[0]))
         flt = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
-        tbls = [
-            pads.dataset(
-                self.cat.path("postings"), partitioning="hive", format="parquet"
-            ).to_table(columns=cols, filter=flt)
-        ]
         for d in self._delta_dirs("postings"):  # uncompacted NRT segments
+            # deltas are never cached: they appear/disappear between
+            # compactions and must stay visible without refresh()
             tbls.append(
                 pads.dataset(d, partitioning="hive", format="parquet").to_table(
-                    columns=cols, filter=flt
+                    columns=self._LOCAL_COLS, filter=flt
                 )
             )
         import pandas as pd  # noqa: F811
 
-        pdf = pd.concat([t.to_pandas() for t in tbls], ignore_index=True)
+        if tbls:
+            pdf = pa.concat_tables(tbls).to_pandas()
+        else:
+            pdf = pd.DataFrame(columns=self._LOCAL_COLS)
         scorer = make_wand_scorer(
             plan.term_meta,
             plan.k,
@@ -772,14 +836,9 @@ class SearchEngine:
         if part_bytes > self.cfg.typo_local_bytes:
             return None, flt
         try:
-            import pyarrow.dataset as pads
-
             from marlin_spark.query.fuzzy import arrow_expression
 
-            ds = pads.dataset(
-                self.cat.path("dictionary"), partitioning="hive",
-                format="parquet",
-            )
+            ds = self._arrow_dataset("dictionary", self.cat.path("dictionary"))
             tbl = ds.to_table(columns=["term"], filter=arrow_expression(flt))
             return np.asarray(tbl["term"].to_pylist(), dtype=object), flt
         except Exception:
@@ -1115,7 +1174,7 @@ class SearchEngine:
         blocks = (
             self._postings_df()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(matched))
-            .select("term", "range_id", "block_id", "max_tfnorm", "postings")
+            .select("term", "range_id", "block_id", "n_docs", "max_tfnorm", "postings")
         )
         n_part = max(
             1,

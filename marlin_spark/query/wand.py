@@ -31,7 +31,7 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from marlin_spark.functions.codec import decode_block
+from marlin_spark.functions.codec import decode_blocks_many
 
 _EPS = 1e-9
 
@@ -106,36 +106,41 @@ def make_wand_scorer(
             if top_d.size >= k and ub < theta - _EPS:
                 skipped += 1
                 continue
-            # decode: per term (sorted -> oracle accumulation order)
+            # decode the WHOLE range in one varbyte pass (terms sorted ->
+            # accumulation order matches the oracle); per-block decode_block
+            # calls were ~50 us of numpy overhead each, the dominant cost
+            # of the driver-local path at 100+ blocks per head-term query
             blks = sorted(ranges[rid], key=lambda t: (t.term, t.block_id))
-            d_parts, s_parts, slot_parts = [], [], []
-            for blk in blks:
-                docids, tfs, dls = decode_block(blk.postings)
-                keep = _mask_deleted(docids, deleted)
-                if keep is not None:
-                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
-                    if docids.size == 0:
-                        continue
-                tfn = tfs.astype(np.float64)
-                score = term_meta[blk.term][0] * tfn * (k1 + 1.0) / (
-                    tfn + norm_c + norm_s * dls.astype(np.float64)
-                )
-                d_parts.append(docids.astype(np.int64))
-                s_parts.append(score)
-                slot_parts.append(
-                    np.full(docids.shape[0], term_meta[blk.term][1], dtype=np.int64)
-                )
-            if not d_parts:  # every posting in the range was tombstoned
+            nb = len(blks)
+            nd = np.fromiter((b_.n_docs for b_ in blks), np.int64, nb)
+            d, tfs, dls, _ = decode_blocks_many(
+                [b_.postings for b_ in blks], nd
+            )
+            s = np.repeat(
+                np.fromiter((term_meta[b_.term][0] for b_ in blks), np.float64, nb),
+                nd,
+            )
+            slots_all = np.repeat(
+                np.fromiter((term_meta[b_.term][1] for b_ in blks), np.int64, nb),
+                nd,
+            )
+            keep = _mask_deleted(d, deleted)
+            if keep is not None:
+                d, tfs, dls = d[keep], tfs[keep], dls[keep]
+                s, slots_all = s[keep], slots_all[keep]
+            if d.size == 0:  # every posting in the range was tombstoned
                 continue
-            d = np.concatenate(d_parts)
-            s = np.concatenate(s_parts)
+            tfn = tfs.astype(np.float64)
+            s = s * tfn * (k1 + 1.0) / (
+                tfn + norm_c + norm_s * dls.astype(np.float64)
+            )
             order = np.argsort(d, kind="stable")
             d, s = d[order], s[order]
             starts = np.flatnonzero(np.diff(d, prepend=-1))
             scores = np.add.reduceat(s, starts)
             u_docids = d[starts]
             if mode == "all" and n_slots > 0:
-                slots = np.concatenate(slot_parts)[order]
+                slots = slots_all[order]
                 # distinct slots per doc: sort (doc, slot) pairs
                 key = d * (n_slots + 1) + slots
                 uniq = np.unique(key)
@@ -252,27 +257,36 @@ def make_batch_wand_scorer(
                 if t in tmax
             }
             decoded: dict[str, tuple] = {}
-            for blk in sorted(ranges[rid], key=lambda t: (t.term, t.block_id)):
-                if blk.term not in needed:
-                    continue
-                docids, tfs, dls = decode_block(blk.postings)
-                keep = _mask_deleted(docids, deleted)
-                if keep is not None:
-                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
-                    if docids.size == 0:
-                        continue
-                tfn = tfs.astype(np.float64)
-                core = tfn * (k1 + 1.0) / (
-                    tfn + norm_c + norm_s * dls.astype(np.float64)
+            blks = [
+                b_
+                for b_ in sorted(ranges[rid], key=lambda t: (t.term, t.block_id))
+                if b_.term in needed
+            ]
+            if blks:
+                # one varbyte pass for the whole range; blocks are term-
+                # sorted so each term's docs are one contiguous span
+                nb = len(blks)
+                nd = np.fromiter((b_.n_docs for b_ in blks), np.int64, nb)
+                d_all, tf_all, dl_all, d_start = decode_blocks_many(
+                    [b_.postings for b_ in blks], nd
                 )
-                if blk.term in decoded:
-                    d0, c0 = decoded[blk.term]
-                    decoded[blk.term] = (
-                        np.concatenate([d0, docids.astype(np.int64)]),
-                        np.concatenate([c0, core]),
-                    )
-                else:
-                    decoded[blk.term] = (docids.astype(np.int64), core)
+                keep = _mask_deleted(d_all, deleted)
+                tfn = tf_all.astype(np.float64)
+                core_all = tfn * (k1 + 1.0) / (
+                    tfn + norm_c + norm_s * dl_all.astype(np.float64)
+                )
+                d_end = np.concatenate((d_start[1:], [d_all.size]))
+                spans: dict[str, tuple[int, int]] = {}
+                for i, b_ in enumerate(blks):
+                    lo, hi = spans.get(b_.term, (int(d_start[i]), int(d_end[i])))
+                    spans[b_.term] = (lo, int(d_end[i]))
+                for term, (lo, hi) in spans.items():
+                    d_t, c_t = d_all[lo:hi], core_all[lo:hi]
+                    if keep is not None:
+                        kk = keep[lo:hi]
+                        d_t, c_t = d_t[kk], c_t[kk]
+                    if d_t.size:
+                        decoded[term] = (d_t, c_t)
             for qid in active:
                 meta = query_metas[qid]
                 parts_d, parts_s, parts_slot = [], [], []
