@@ -119,23 +119,44 @@ class SearchEngine:
             else 0
         )
         self.deleted = None
+        self._tombstones_distributed = False
+        self._n_tombstones = 0
         if self.cat.exists("tombstones"):
+            # size-gate BEFORE materializing: count_rows is parquet
+            # metadata only (round-3 verdict item #3 — a bulk delete of
+            # 1e9 docids must never OOM the driver)
             try:
                 import pyarrow.dataset as pads
 
-                tbl = pads.dataset(
+                n_rows = pads.dataset(
                     self.cat.path("tombstones"), format="parquet"
-                ).to_table(columns=["docid"])
-                arr = np.unique(tbl["docid"].to_numpy())
-                if arr.size:
-                    self.deleted = arr.astype(np.int64)
+                ).count_rows()
             except Exception:
-                rows = self.spark.read.parquet(
+                n_rows = self.spark.read.parquet(
                     self.cat.path("tombstones")
-                ).select("docid").distinct().collect()
-                arr = np.sort(np.array([r["docid"] for r in rows], dtype=np.int64))
-                if arr.size:
-                    self.deleted = arr
+                ).count()
+            self._n_tombstones = int(n_rows)
+            if n_rows > self.cfg.tombstone_driver_max:
+                # distributed mode: the set stays in parquet; queries
+                # anti-join it (see _not_deleted / search dispatch)
+                self._tombstones_distributed = True
+            elif n_rows:
+                try:
+                    import pyarrow.dataset as pads
+
+                    tbl = pads.dataset(
+                        self.cat.path("tombstones"), format="parquet"
+                    ).to_table(columns=["docid"])
+                    arr = np.unique(tbl["docid"].to_numpy())
+                    if arr.size:
+                        self.deleted = arr.astype(np.int64)
+                except Exception:
+                    rows = self.spark.read.parquet(
+                        self.cat.path("tombstones")
+                    ).select("docid").distinct().collect()
+                    arr = np.sort(np.array([r["docid"] for r in rows], dtype=np.int64))
+                    if arr.size:
+                        self.deleted = arr
 
     def refresh(self) -> None:
         """Re-read stats.json + tombstones and drop the term->df cache.
@@ -194,19 +215,41 @@ class SearchEngine:
                     ]
                 )
             )
-        if not with_deleted and self.deleted is not None:
+        if not with_deleted and (
+            self.deleted is not None or self._tombstones_distributed
+        ):
             base = self._not_deleted(base)
         return base
 
     def _not_deleted(self, df: DataFrame, col: str = "docid") -> DataFrame:
-        """Anti-join the tombstone set (broadcast: bounded between
-        compactions; a huge set would read tombstones/ distributed)."""
+        """Anti-join the tombstone set. Below tombstone_driver_max the
+        set is driver-resident and broadcasts; above it the tombstones
+        parquet is read DISTRIBUTED and the anti-join shuffles — the set
+        never touches the driver."""
+        if self._tombstones_distributed:
+            self._check_tombstone_pressure()
+            tomb = (
+                self.spark.read.parquet(self.cat.path("tombstones"))
+                .select(F.col("docid").cast("long").alias(col))
+                .distinct()
+            )
+            return df.join(tomb, col, "left_anti")
         if self.deleted is None:
             return df
         tomb = self.spark.createDataFrame(
             [(int(d),) for d in self.deleted], "docid long"
         ).withColumnRenamed("docid", col)
         return df.join(F.broadcast(tomb), col, "left_anti")
+
+    def _check_tombstone_pressure(self) -> None:
+        """Above tombstone_compact_max every query would drag a huge
+        anti-join along; refuse loudly instead of degrading silently."""
+        if self._n_tombstones > self.cfg.tombstone_compact_max:
+            raise RuntimeError(
+                f"{self._n_tombstones} tombstoned docids exceed "
+                f"tombstone_compact_max={self.cfg.tombstone_compact_max}; "
+                "run IncrementalIndexer.compact() before searching"
+            )
 
     # ------------------------------------------------------------- plan
     def idf(self, df: int) -> float:
@@ -374,6 +417,13 @@ class SearchEngine:
         milliseconds instead of a cluster round-trip, while huge queries
         still fan out. Rank-identical to the distributed paths.
         """
+        if self._tombstones_distributed:
+            # the numpy-masked kernels (WAND / local) cannot see a
+            # distributed tombstone set — route through the exact path,
+            # whose _not_deleted anti-join shuffles (scale-safe)
+            self._check_tombstone_pressure()
+            use_wand = False
+            local_threshold = 0
         plan = self.plan(q, k, mode, prefix_last)
         if plan.match_all_docs:
             docs = self._docs_df()
@@ -624,7 +674,11 @@ class SearchEngine:
         pyarrow partition-pruned block read + the same numpy WAND scorer.
         Returns [(docid, score)] ranked. Rank-identical to search()."""
         plan = self.plan(q, k, mode, prefix_last)
-        if plan.match_all_docs or not plan.term_meta:
+        if (
+            plan.match_all_docs
+            or not plan.term_meta
+            or self._tombstones_distributed  # numpy mask unavailable
+        ):
             df = self.search(q, k, mode, prefix_last)
             return [(r["docid"], r["score"]) for r in df.collect()]
         return self._local_topk(plan)
@@ -1038,6 +1092,10 @@ class SearchEngine:
             feats = blocks.repartition(n_part, "range_id").mapInPandas(
                 kernel, RANK_SCHEMA
             )
+            if self._tombstones_distributed:
+                # kernel emits full features per matched doc (no top-k
+                # inside), so the shuffled anti-join here is exact
+                feats = self._not_deleted(feats)
         if field is not None:
             # semi-join-with-payload against the compare field: only the
             # surviving feature docids reach the sort. The match set is
@@ -1145,6 +1203,11 @@ class SearchEngine:
         postings scan for ALL queries; each block decoded once per range,
         per-query theta pruning, per-partition top-k — avoids the exact
         path's |candidates| x |queries| shuffle entirely."""
+        if self._tombstones_distributed:
+            # per-partition top-k with an unseeable tombstone set could
+            # evict live docs; the exact batch path anti-joins correctly
+            self._check_tombstone_pressure()
+            return self.search_many(queries, k, mode)
         from marlin_spark.query.wand import make_batch_wand_scorer
 
         per_q = {qid: self.analyze_query(q) for qid, q in queries.items()}

@@ -225,3 +225,65 @@ def test_batch_capacity_overflow_fails_loudly(spark, crud_index):
             ),
             0,
         )
+
+
+def test_distributed_tombstones_never_touch_driver(spark, crud_index):
+    """Round-3 verdict item #3: above tombstone_driver_max the engine
+    must NOT materialize the tombstone set on the driver (a 1e9-docid
+    bulk delete would OOM it). The gated fallback reads tombstones/
+    distributed and anti-joins (shuffled); every query path stays
+    correct; above tombstone_compact_max search refuses until compact().
+    Reference analog: free-list bitmap deletes (sdata.c:64-79) never
+    buffer the whole set either."""
+    from pyspark.sql import functions as F
+
+    d, cfg = crud_index
+    eng0 = SearchEngine(spark, d, cfg)
+    victims = [
+        r["docid"]
+        for r in eng0.search("worst", k=3, use_wand=False).collect()
+    ]
+    survivors_expected = {
+        r["docid"]
+        for r in eng0.search("worst", k=1000, use_wand=False).collect()
+    } - set(victims)
+    inc = IncrementalIndexer(spark, d, cfg)
+    # bulk delete as a DataFrame: 1e6 docids, real victims + far-range
+    # padding; built from spark.range so the driver never holds the set
+    inc.delete_docids(
+        spark.range(1_000_000_000, 1_000_000_000 + 1_000_000 - len(victims))
+        .select(F.col("id").alias("docid"))
+        .unionAll(
+            spark.createDataFrame([(int(v),) for v in victims], "docid long")
+        )
+    )
+    low_gate = cfg.with_(tombstone_driver_max=1000)
+    eng = SearchEngine(spark, d, low_gate)
+    # the set was never pulled down: numpy mask absent, distributed on
+    assert eng.deleted is None
+    assert eng._tombstones_distributed
+    assert eng._n_tombstones == 1_000_000
+    # every public path excludes the victims (routed through exact +
+    # shuffled anti-join)
+    for ids in (
+        {r["docid"] for r in eng.search("worst", k=1000).collect()},
+        {r["docid"] for r in eng.search("worst", k=1000, use_wand=False).collect()},
+        {docid for docid, _ in eng.search_local("worst", k=1000)},
+        {
+            r["docid"]
+            for r in eng.search_many_wand({"q0": "worst"}, k=1000).collect()
+        },
+    ):
+        assert ids == survivors_expected
+    # pressure gate: above tombstone_compact_max search refuses loudly
+    eng2 = SearchEngine(
+        spark, d, cfg.with_(tombstone_driver_max=10, tombstone_compact_max=100)
+    )
+    with pytest.raises(RuntimeError, match="compact"):
+        eng2.search("worst", k=10).collect()
+    # compact() folds the set; afterwards everything is back to normal
+    IncrementalIndexer(spark, d, low_gate).compact()
+    eng3 = SearchEngine(spark, d, low_gate)
+    assert not eng3._tombstones_distributed
+    ids = {r["docid"] for r in eng3.search("worst", k=1000).collect()}
+    assert ids == survivors_expected
