@@ -713,6 +713,53 @@ def dd_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dd_connected_components",
+    f"""WITH RECURSIVE {_SHINGLE_CTES},
+pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pj AS (SELECT a, b FROM pr JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+       WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8),
+e AS (SELECT a AS src, b AS dst FROM pj UNION SELECT b AS src, a AS dst FROM pj),
+cc(node, label) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN e ON e.src = cc.node
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+SELECT node::BIGINT AS doc_id, component::BIGINT AS component
+FROM comp ORDER BY doc_id""",
+)
+def dd_connected_components(spark, sf_dir):
+    """Transitive dedup closure (round-3 verdict Missing #2): connected
+    components over the near-dup pair graph, so A~C, B~C collapse to ONE
+    survivor even though A and B never pair directly (greedy pair
+    removal keeps both). Pairs = word-3-gram Jaccard >= 0.8 (same plan
+    as dd_ngram_jaccard); closure = iterative min-label propagation
+    (operators/dedup.py connected_components — bounded iterations,
+    checkpointed frontier). Oracle: DuckDB recursive CTE reachability.
+    """
+    from marlin_spark.operators.dedup import connected_components
+
+    sh = _shingles_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("x"), sh.alias("y")
+    pr = (
+        a.join(b, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    pairs = pr.join(ca, "a").join(cb, "b").filter(j >= 0.8).select("a", "b")
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dd_minhash_lsh",
     f"""WITH {_SHINGLE_CTES},
 sigs AS (SELECT doc_id, h.range AS h, min(md5(h.range::VARCHAR || '|' || s)) AS sig
