@@ -18,8 +18,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from marlin_spark.oracle.tokenizer import tokenize as _marlin_tokenize
-
 TOKENS_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -30,15 +28,30 @@ TOKENS_TYPE = T.ArrayType(
 )
 
 
+def _batch_token_structs(texts: pd.Series, mode: str) -> pd.Series:
+    """Full token emission through the BATCH tokenizer (one C-level pass
+    per fast-path doc) re-assembled into the array<struct> column shape;
+    replaces the round-3 per-string ``texts.map`` path."""
+    from itertools import islice
+
+    from marlin_spark.oracle.tokenizer import analyze_batch
+
+    counts, terms, pos = analyze_batch(
+        ["" if s is None else s for s in texts], "marlin", mode
+    )
+    it = iter(zip(terms.tolist(), pos.tolist()))
+    return pd.Series([list(islice(it, int(c))) for c in counts])
+
+
 @F.pandas_udf(TOKENS_TYPE)
 def marlin_tokens(texts: pd.Series) -> pd.Series:
     """Index-mode marlin analyzer over an Arrow batch of texts."""
-    return texts.map(lambda s: [] if s is None else _marlin_tokenize(s, "index"))
+    return _batch_token_structs(texts, "index")
 
 
 @F.pandas_udf(TOKENS_TYPE)
 def marlin_tokens_search(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda s: [] if s is None else _marlin_tokenize(s, "search"))
+    return _batch_token_structs(texts, "search")
 
 
 @F.pandas_udf(T.IntegerType())

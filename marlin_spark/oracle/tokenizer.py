@@ -118,6 +118,19 @@ def _tokenize_fast_ascii(text: str) -> List[Tuple[str, int]] | None:
     return out
 
 
+# Characters on which normalize() provably reduces to str.lower():
+# printable ASCII (NFKD/NFC/IGNORE/STRIPNA no-ops; casefold == lower;
+# no marks) minus '`' (LUMPed to "'"), plus the Cc chars that STRIPCC
+# turns into spaces — in the token loop a space and any non-token char
+# separate identically, so mapping them is unnecessary. Other control
+# chars (e.g. \x01, \x7f) are REMOVED by STRIPCC, which *joins* adjacent
+# tokens, so they must keep the full normalize. Equality of the two
+# paths on this set is property-tested (tests/test_tokenizer_fast.py).
+_ASCII_NORM_SET = frozenset(
+    chr(c) for c in range(0x20, 0x7F) if chr(c) != "`"
+) | frozenset("\t\n\v\f\r")
+
+
 def tokenize(text: str, mode: str = "index") -> List[Tuple[str, int]]:
     """Tokenize normalized text into (term, 1-based position) pairs.
 
@@ -128,7 +141,13 @@ def tokenize(text: str, mode: str = "index") -> List[Tuple[str, int]]:
     if fast is not None:
         return fast
     index_mode = mode == "index"
-    norm = normalize(text)
+    # ASCII medium path: the per-char unicodedata normalize pass was the
+    # dominant cost of slow-path docs (hyphens/apostrophes/abbreviations
+    # in otherwise-plain text); on _ASCII_NORM_SET it is just lower()
+    if _ASCII_NORM_SET.issuperset(text):
+        norm = text.lower()
+    else:
+        norm = normalize(text)
     n = len(norm)
     out: List[Tuple[str, int]] = []
     # C-faithful fixed buffer emulation: ``buf`` only grows, ``length`` is

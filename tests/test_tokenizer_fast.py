@@ -87,3 +87,38 @@ def test_analyze_batch_sentence_periods_stay_fast():
     # single-char token + '.' must bail (abbreviation merge)
     assert tk._BATCH_BAIL.search("u.s.a.") is not None
     assert tk._BATCH_BAIL.search("see a. b") is not None
+
+
+def test_ascii_medium_path_equals_full_normalize():
+    """The tokenize() ASCII medium path (skip normalize, just lower)
+    must be byte-identical to the full unicodedata normalize pipeline on
+    every string over _ASCII_NORM_SET — including the special-cased
+    hyphen/apostrophe/abbreviation inputs that bail the batch guard."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marlin_spark.oracle import tokenizer as tk
+
+    alphabet = sorted(tk._ASCII_NORM_SET)
+
+    def forced_slow(text, mode):
+        # same loop, normalize forced (guard disabled via a shrunk set)
+        orig = tk._ASCII_NORM_SET
+        tk._ASCII_NORM_SET = frozenset()
+        try:
+            return tk.tokenize(text, mode)
+        finally:
+            tk._ASCII_NORM_SET = orig
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=60), st.sampled_from(["index", "search"]))
+    def check(s, mode):
+        assert tk.tokenize(s, mode) == forced_slow(s, mode)
+
+    check()
+    # targeted quirk inputs
+    for s in ("U.S.A. don't - state-of-the-art", "a-b-", "I'm A.B.c", "x" * 200):
+        for mode in ("index", "search"):
+            assert tk.tokenize(s, mode) == forced_slow(s, mode)
