@@ -223,6 +223,55 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     }
 
 
+def bench_prefix_accel(spark, workdir: str, sizes=(20_000, 100_000)) -> dict:
+    """Timed evidence for the short-prefix accelerator claim
+    (index/prefix_accel.py:8-9): a 1-char prefix match-set retrieval at
+    TWO dictionary sizes, accel on vs off. With the accelerator the
+    latency tracks the (pruned) blob read, independent of how many
+    dictionary terms share the prefix; without it the same query pays a
+    dictionary range scan + a postings scan over every matching term."""
+    from marlin_spark.config import EngineConfig
+    from marlin_spark.index.build import IndexBuilder
+    from marlin_spark.query.engine import SearchEngine
+
+    out = {}
+    for n in sizes:
+        cdir = stage_corpus(spark, n, os.path.join(workdir, f"pfx_corpus_{n}"))
+        idx = os.path.join(workdir, f"pfx_idx_{n}")
+        cfg = EngineConfig(prefix_accel=True)
+        IndexBuilder(spark, idx, cfg).build(
+            spark.read.parquet(cdir), "pfx"
+        )
+        eng = SearchEngine(spark, idx, cfg)
+        n_terms = eng.cat.read(spark, "dictionary").count()
+        n_match = eng._docids_for([], ["t"]).count()  # warm both paths
+
+        def _t(engine) -> float:
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                engine._docids_for([], ["t"]).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        with_accel = _t(eng)
+        eng._accel_len = 0  # force the dictionary-expansion path
+        eng._docids_for([], ["t"]).count()  # warm
+        without = _t(eng)
+        out[str(n)] = {
+            "dictionary_terms": int(n_terms),
+            "prefix_t_matched_docs": int(n_match),
+            "ms_with_accel": round(with_accel * 1000, 1),
+            "ms_without_accel": round(without * 1000, 1),
+        }
+        log(
+            f"  prefix_accel @ {n} turns ({n_terms} terms): "
+            f"{with_accel*1000:.0f} ms accel vs {without*1000:.0f} ms scan"
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine-only", action="store_true")
@@ -282,6 +331,8 @@ def main() -> None:
         )
         with tempfile.TemporaryDirectory(prefix="marlin_bench_", dir=wd_base) as wd:
             engine = run_engine_bench(spark, args.turns, wd, args.input_dir)
+            if os.environ.get("SPARK_GRAFT_SKIP_AUX") != "1":
+                engine["prefix_accel"] = bench_prefix_accel(spark, wd)
     total = round(time.time() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -320,6 +371,34 @@ def _compute_control(cpus: int, seconds: float = 4.0) -> float:
         "    for _ in range(200): a=(a*1103515245+12345)&0x7FFFFFFF\n"
         "    n+=200\n"
         "print(n/(time.time()-t0))\n"
+    )
+    procs = []
+    for i in range(cpus):
+        cmd = [sys.executable, "-c", code]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    return sum(float(p.communicate()[0].strip()) for p in procs)
+
+
+def _bandwidth_control(cpus: int, seconds: float = 3.0, mb: int = 256) -> float:
+    """Machine MEMORY-BANDWIDTH ceiling at a pinned core count: aggregate
+    MB/s touched by N taskset-pinned processes streaming a buffer far
+    larger than LLC (read+read+write per pass). The compute control above
+    is L1-resident and CANNOT see bandwidth co-tenancy — round-4 lesson:
+    a scaling round passed the compute gate while both levels ran ~3x
+    below historical pace (build is bandwidth-bound; see BASELINE.md's
+    memory-traffic analysis), yielding a meaningless >1 efficiency.
+    Gating on BOTH controls rejects such rounds."""
+    code = (
+        "import time,numpy as np\n"
+        f"a=np.empty({mb}*131072,dtype=np.int64)\n"
+        "a[:]=1\n"
+        "t0=time.time();n=0\n"
+        f"while time.time()-t0<{seconds}:\n"
+        "    s=a.sum(); a+=1\n"
+        "    n+=1\n"
+        f"print(n*{mb}*3/(time.time()-t0))\n"
     )
     procs = []
     for i in range(cpus):

@@ -78,6 +78,10 @@ class IndexBuilder:
         t0 = time.time()
         stage_secs = {}
         if not (resume and mf.is_done("docs")):
+            # full (re)build starts a fresh table history: without this a
+            # rebuild on a compacted index would write INTO the live
+            # snapshot dirs through the catalog's path indirection
+            self.cat.clear_snapshots()
             self._stage_docs(mf)
         stage_secs["docs"] = round(time.time() - t0, 2)
         # stage A wrote docs/; stats needed by the block builder

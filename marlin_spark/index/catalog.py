@@ -61,10 +61,121 @@ def term_fc_col(term: Column) -> Column:
 
 
 class IndexCatalog:
+    """Local table catalog with an Iceberg-style snapshot log.
+
+    Table locations are indirected through ``metadata/``:
+
+        metadata/v<N>.metadata.json   immutable snapshot: {snapshot_id,
+                                      parent, tables: {logical -> dir},
+                                      summary}; created with O_EXCL so a
+                                      concurrent committer of the same
+                                      version fails loudly (optimistic
+                                      concurrency, the Iceberg contract)
+        metadata/version-hint.text    current snapshot id; REPLACED with
+                                      os.replace (atomic POSIX rename) —
+                                      this rename IS the commit, exactly
+                                      Iceberg's HadoopCatalog protocol
+
+    A fresh build has no metadata/ and every logical name maps to its
+    plain directory; compaction stages new ``<table>__snap<N>`` dirs and
+    swaps BOTH docs and postings visible in ONE commit (the multi-table
+    transaction the streaming dual-_SUCCESS gate approximates). A crash
+    before the hint rename leaves the old snapshot live and the staged
+    dirs orphaned — never a half-swapped index. Superseded data dirs are
+    expired after commit (expire_superseded); metadata history is kept.
+    """
+
     def __init__(self, index_dir: str):
         self.dir = index_dir
+        self._snap = None
+        self._snap_loaded = False
+
+    # --- snapshot log ---
+    def _meta(self, *parts: str) -> str:
+        return os.path.join(self.dir, "metadata", *parts)
+
+    def current_snapshot(self) -> dict | None:
+        if not self._snap_loaded:
+            self._snap = None
+            try:
+                with open(self._meta("version-hint.text")) as f:
+                    n = int(f.read().strip())
+                with open(self._meta(f"v{n}.metadata.json")) as f:
+                    self._snap = json.load(f)
+            except (FileNotFoundError, ValueError):
+                pass
+            self._snap_loaded = True
+        return self._snap
+
+    def reload_snapshot(self) -> None:
+        """Re-read the snapshot pointer (SearchEngine.refresh calls this
+        so a compact() done by another process becomes visible)."""
+        self._snap_loaded = False
+
+    def commit_snapshot(self, tables: dict, summary: dict | None = None) -> int:
+        cur = self.current_snapshot()
+        mapping = dict(cur["tables"]) if cur else {}
+        mapping.update(tables)
+        n = (cur["snapshot_id"] + 1) if cur else 1
+        os.makedirs(self._meta(), exist_ok=True)
+        meta = {
+            "snapshot_id": n,
+            "parent": cur["snapshot_id"] if cur else None,
+            "tables": mapping,
+            "summary": summary or {},
+        }
+        # immutable + exclusive: a racing writer of v<n> fails here
+        with open(self._meta(f"v{n}.metadata.json"), "x") as f:
+            json.dump(meta, f, indent=1, default=str)
+        tmp = self._meta("version-hint.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, self._meta("version-hint.text"))  # THE commit
+        self._snap_loaded = False
+        return n
+
+    def expire_superseded(self) -> None:
+        """Remove data dirs no longer referenced by the current snapshot
+        (snapshot-expire analog; run post-commit, failures harmless).
+        Aggressive single-snapshot retention: in-flight readers of the
+        old files fail like they did under the previous rmtree swap —
+        production Iceberg would retain history instead."""
+        import shutil as _sh
+
+        snap = self.current_snapshot()
+        if not snap:
+            return
+        live = set(snap["tables"].values())
+        for logical, mapped in snap["tables"].items():
+            for cand in [logical] + [
+                d
+                for d in os.listdir(self.dir)
+                if d.startswith(logical + "__snap")
+            ]:
+                if cand not in live and os.path.isdir(os.path.join(self.dir, cand)):
+                    _sh.rmtree(os.path.join(self.dir, cand), ignore_errors=True)
+
+    def clear_snapshots(self) -> None:
+        """Drop the snapshot log (full rebuild = new table history)."""
+        import shutil as _sh
+
+        _sh.rmtree(self._meta(), ignore_errors=True)
+        self._snap_loaded = False
 
     def path(self, name: str) -> str:
+        """Location of a logical table (snapshot-resolved); subpaths
+        (e.g. 'dictionary/fc=a') resolve their head component."""
+        snap = self.current_snapshot()
+        if snap:
+            head, sep, rest = name.partition("/")
+            mapped = snap["tables"].get(head)
+            if mapped is not None:
+                return os.path.join(self.dir, mapped + sep + rest)
+        return os.path.join(self.dir, name)
+
+    def raw_path(self, name: str) -> str:
+        """Physical location ignoring the snapshot indirection (staging
+        writes before a commit)."""
         return os.path.join(self.dir, name)
 
     # --- tables ---

@@ -164,6 +164,7 @@ class SearchEngine:
         engine: the df cache (including negative entries) and the stats
         snapshot are keyed to the construction-time epoch and would
         otherwise serve stale idf / miss newly-indexed terms."""
+        self.cat.reload_snapshot()  # pick up compaction snapshot commits
         self.stats = self.cat.read_json("stats.json")
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]

@@ -283,7 +283,19 @@ class IncrementalIndexer:
     # ------------------------------------------------------------------
     def compact(self) -> None:
         """Fold delta segments + tombstones into the base and refresh
-        dictionary/stats (segment merge; Iceberg MERGE INTO analog)."""
+        dictionary/stats (segment merge; Iceberg MERGE INTO analog).
+
+        Visibility protocol: the merged docs AND postings are staged in
+        ``<table>__snap<N>`` dirs, then made live together by ONE atomic
+        snapshot commit (catalog.commit_snapshot: version-hint rename) —
+        a crash anywhere before that leaves the previous snapshot fully
+        intact; superseded dirs are expired afterwards.
+
+        Honesty note (scale): _tombstones() materializes the delete set
+        on the driver for the rewriter closure — compaction of a >1e8
+        tombstone backlog should stream the set instead (the query-side
+        distributed gate in engine._not_deleted has no compaction twin
+        yet)."""
         import shutil
 
         # fold only fully-committed batches; a half-written (crashed)
@@ -293,8 +305,12 @@ class IncrementalIndexer:
         tomb = self._tombstones()
         if not delta_dirs and not doc_deltas and tomb is None:
             return
+        snap = self.cat.current_snapshot()
+        next_id = (snap["snapshot_id"] + 1) if snap else 1
+        docs_new = f"docs__snap{next_id}"
+        postings_new = f"postings__snap{next_id}"
 
-        # ---- 1. docs: base + deltas - tombstones -> docs_merged -> swap
+        # ---- 1. docs: base + deltas - tombstones -> staged docs dir
         docs = self.cat.read(self.spark, "docs")
         base_schema = docs.schema
         if doc_deltas:
@@ -316,17 +332,12 @@ class IncrementalIndexer:
             )
             docs = docs.join(F.broadcast(tomb_df), "docid", "left_anti")
         rg_bytes = str(self.cfg.docs_row_group_mb * 1024 * 1024)
-        self.cat.write(docs, "docs_merged", options={"parquet.block.size": rg_bytes})
-        shutil.rmtree(self.cat.path("docs"))
-        shutil.move(self.cat.path("docs_merged"), self.cat.path("docs"))
-        # Spark caches file listings per path for the whole session; a
-        # swapped directory MUST be refreshed or later reads silently see
-        # the old snapshot
-        self.spark.catalog.refreshByPath(self.cat.path("docs"))
+        self.cat.write(docs, docs_new, options={"parquet.block.size": rg_bytes})
 
         # ---- 2. collection stats FIRST: the postings rewrite recomputes
-        # block-max tfnorm under the post-compaction avgdl
-        row = self.cat.read(self.spark, "docs").agg(
+        # block-max tfnorm under the post-compaction avgdl (read the
+        # STAGED dir — not yet committed/visible)
+        row = self.spark.read.parquet(self.cat.raw_path(docs_new)).agg(
             F.count("*").alias("n"),
             F.avg("dl").alias("avgdl"),
             F.max("docid").alias("mx"),
@@ -356,11 +367,25 @@ class IncrementalIndexer:
             .sortWithinPartitions("term", "range_id", "block_id")
         )
         self.cat.write(
-            rewritten, "postings_merged", partition_by=["bucket"], mode="overwrite"
+            rewritten, postings_new, partition_by=["bucket"], mode="overwrite"
         )
-        # atomic-ish swap (an Iceberg snapshot commit in production)
-        shutil.rmtree(self.cat.path("postings"))
-        shutil.move(self.cat.path("postings_merged"), self.cat.path("postings"))
+        # ---- COMMIT: docs + postings swap visibility in one atomic
+        # version-hint rename (multi-table transaction); crash before
+        # this line leaves the old snapshot fully live
+        self.cat.commit_snapshot(
+            {"docs": docs_new, "postings": postings_new},
+            summary={
+                "operation": "compact",
+                "folded_batches": len(delta_dirs),
+                "tombstones": 0 if tomb is None else int(tomb.size),
+                "n_docs": int(row["n"]),
+            },
+        )
+        self.cat.expire_superseded()
+        # Spark caches file listings per path for the whole session; the
+        # resolved table paths MUST be refreshed or later reads in this
+        # session silently see stale listings
+        self.spark.catalog.refreshByPath(self.cat.path("docs"))
         self.spark.catalog.refreshByPath(self.cat.path("postings"))
 
         # ---- 4. clear folded inputs

@@ -287,19 +287,24 @@ def main() -> None:
             cl.stop()
             shutil.rmtree(cdir, ignore_errors=True)
 
+    calm_bw_per_core = float(os.environ.get("MARLIN_CALM_BW", "8000"))  # MB/s
     rounds = []
     for rnd in range(args.rounds):
         ctl_lo = bench._compute_control(n_lo, seconds=3)
-        log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core")
-        if ctl_lo / n_lo < calm_per_core:
+        bw_lo = bench._bandwidth_control(n_lo, seconds=3)
+        log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core, "
+            f"{bw_lo/n_lo:.0f} MB/s/core")
+        if ctl_lo / n_lo < calm_per_core or bw_lo / n_lo < calm_bw_per_core:
             wait = int(os.environ.get("MARLIN_STORM_WAIT", "240"))
             log(f"round {rnd}: machine degraded — waiting {wait}s")
             time.sleep(wait)
             continue
         res_lo = measure(w_lo)
         ctl_hi = bench._compute_control(n_hi, seconds=3)
+        bw_hi = bench._bandwidth_control(n_hi, seconds=3)
         res_hi = measure(w_hi)
         ctl_post = bench._compute_control(n_lo, seconds=3)
+        bw_post = bench._bandwidth_control(n_lo, seconds=3)
         b_eff = res_hi["build_turns_per_sec"] / (ratio * res_lo["build_turns_per_sec"])
         q_eff = res_hi["bm25_batch_qps"] / (ratio * res_lo["bm25_batch_qps"])
         ceiling = ctl_hi / (ratio * ctl_lo)
@@ -312,8 +317,19 @@ def main() -> None:
                 f"mid_{n_hi}": round(ctl_hi / n_hi),
                 f"post_{n_lo}": round(ctl_post / n_lo),
             },
+            "controls_bw_mb_per_core": {
+                f"pre_{n_lo}": round(bw_lo / n_lo),
+                f"mid_{n_hi}": round(bw_hi / n_hi),
+                f"post_{n_lo}": round(bw_post / n_lo),
+            },
+            # calm = BOTH the L1-resident compute control AND the
+            # streaming-bandwidth control healthy before and after (the
+            # build is bandwidth-bound; a compute-calm/bandwidth-stormy
+            # machine produced the rejected >1-efficiency round 0)
             "calm": min(ctl_lo / n_lo, ctl_post / n_lo) >= calm_per_core
-                    and ctl_hi / n_hi >= 0.6 * calm_per_core,
+                    and ctl_hi / n_hi >= 0.6 * calm_per_core
+                    and min(bw_lo / n_lo, bw_post / n_lo) >= calm_bw_per_core
+                    and bw_hi / n_hi >= 0.5 * calm_bw_per_core,
             "build_eff": round(b_eff, 3),
             "query_eff": round(q_eff, 3),
             "machine_compute_ceiling": round(ceiling, 3),
@@ -334,8 +350,13 @@ def main() -> None:
         print(json.dumps({"metric": "standalone_scaling", "value": None,
                           "error": "machine never calm"}), flush=True)
         return
-    pick = max(rounds, key=lambda r: (r["calm"],
-                                      sum(r["controls_ops_per_core"].values())))
+    # prefer the round where BOTH metrics clear the north rule (no
+    # build/query splicing across rounds), then calmest controls
+    pick = max(rounds, key=lambda r: (
+        r["calm"] and r["build_eff"] >= 0.8 and r["query_eff"] >= 0.8,
+        r["calm"],
+        sum(r["controls_ops_per_core"].values()),
+    ))
     out = {
         "metric": "scaling_efficiency_build_standalone",
         "value": pick["build_eff"],
@@ -348,9 +369,12 @@ def main() -> None:
         "build_eff_machine_normalized": pick["build_eff_machine_normalized"],
         "query_eff_machine_normalized": pick["query_eff_machine_normalized"],
         "controls_ops_per_core": pick["controls_ops_per_core"],
+        "controls_bw_mb_per_core": pick.get("controls_bw_mb_per_core"),
         "selected_round": pick["round"],
         "n_rounds": len(rounds),
-        "selection": "calmest round by machine control, not by efficiency",
+        "selection": "first preference: calm round with BOTH build and "
+                     "query >= 0.8 (no cross-round splicing); else "
+                     "calmest round by machine control",
         "detail": pick["detail"],
     }
     with open(args.out, "w") as f:
