@@ -172,12 +172,21 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     n_q = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "200"))
     qs = bench_queries(n_q)
     batch_s = None
+    pre_stage_ids = {s["stage"] for s in _stage_metrics(spark)}
+    plan_s = None
     for rep in range(repeats):
         t0 = time.time()
-        n_hits = eng.search_many_wand(qs, k=10).count()
+        batch_df = eng.search_many_wand(qs, k=10)
+        t_plan = time.time() - t0  # driver python + catalyst, pre-job
+        n_hits = batch_df.count()
         dt = time.time() - t0
-        log(f"  batch[{rep}]: {n_q}q in {dt:.1f}s = {n_q/dt:.1f} q/s")
-        batch_s = dt if batch_s is None else min(batch_s, dt)
+        log(f"  batch[{rep}]: {n_q}q in {dt:.1f}s = {n_q/dt:.1f} q/s "
+            f"(plan {t_plan:.1f}s)")
+        if batch_s is None or dt < batch_s:
+            batch_s, plan_s = dt, t_plan
+    batch_stages = [
+        s for s in _stage_metrics(spark) if s["stage"] not in pre_stage_ids
+    ]
     # auxiliary latency phases (exact batch, distributed single, driver-
     # local): skippable for scaling runs — the north-rule metric is build
     # turns/s + batched WAND q/s, and the exact batch alone costs minutes
@@ -213,6 +222,8 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
         "stage_seconds": counters.get("stage_seconds"),
         "build_turns_per_sec": round(n_turns / build_s, 1),
         "bm25_batch_qps": round(n_q / batch_s, 2),
+        "batch_plan_sec": round(plan_s, 2) if plan_s is not None else None,
+        "batch_stage_metrics": batch_stages,
         "bm25_batch_exact_qps": round(n_q / batch_exact_s, 2) if batch_exact_s else None,
         "bm25_single_qps": round(len(singles) / single_s, 2) if single_s else None,
         "bm25_local_qps": round(local_qps, 1) if local_qps else None,
@@ -379,6 +390,45 @@ def _compute_control(cpus: int, seconds: float = 4.0) -> float:
             cmd = ["taskset", "-c", str(i)] + cmd
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
     return sum(float(p.communicate()[0].strip()) for p in procs)
+
+
+def _stage_metrics(spark) -> list[dict]:
+    """Completed-stage summaries from the Spark UI REST API (driver
+    port): per-stage wall duration vs summed executor task time — the
+    gap between a job's wall clock and its parallelizable task time IS
+    the fixed cost that caps N->4N scaling, so record it per level."""
+    import datetime as _dt
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return []
+
+    def _ts(s):
+        try:
+            return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%Z").timestamp()
+        except Exception:
+            return None
+
+    out = []
+    for st in stages:
+        sub, comp = _ts(st.get("submissionTime", "")), _ts(st.get("completionTime", ""))
+        out.append(
+            {
+                "stage": st.get("stageId"),
+                "name": (st.get("name") or "").split(" at ")[0][:48],
+                "wall_ms": round((comp - sub) * 1000) if sub and comp else None,
+                "task_ms": st.get("executorRunTime"),
+                "tasks": st.get("numCompleteTasks"),
+            }
+        )
+    return out
 
 
 def _bandwidth_control(cpus: int, seconds: float = 3.0, mb: int = 256) -> float:

@@ -275,6 +275,7 @@ def main() -> None:
                    "--turns", str(args.turns), "--input-dir", corpus,
                    "--shm", shm]
             env = dict(os.environ, SPARK_DRIVER_MEM="16g",
+                       MARLIN_SPARK_UI="true",  # stage metrics via REST
                        SPARK_GRAFT_SKIP_AUX="1",
                        SPARK_GRAFT_BATCH_QUERIES=os.environ.get(
                            "SPARK_GRAFT_BATCH_QUERIES", "1000"))

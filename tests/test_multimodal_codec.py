@@ -1,0 +1,105 @@
+"""Real pure-python image codecs (round-3 verdict Missing #4): PPM/PGM
+and 24-bit BMP decode proven end-to-end — fixture bytes -> decode ->
+features through the Spark mapInPandas pipeline — with the deterministic
+fake decode remaining only for formats whose codecs this container
+genuinely lacks (JPEG/PNG)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from marlin_spark.multimodal.binary import (
+    _decode_bmp,
+    decode_image,
+    encode_ppm,
+    extract_features,
+    resize_nearest,
+)
+
+
+def _ref_image(w=6, h=4, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB encoder (test-side golden writer)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HHI", 1, 24, 0)
+        + struct.pack("<IiiII", len(raster), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_ppm_round_trip():
+    img = _ref_image()
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # P5 grayscale
+    gray = img[:, :, 0]
+    assert np.array_equal(decode_image(encode_ppm(gray)), gray)
+    # header comments + multi-whitespace are legal netpbm
+    with_comment = b"P6\n# a comment\n 6\t4\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(with_comment), img)
+
+
+def test_bmp_decode_golden():
+    img = _ref_image(w=5, h=3)  # 5*3=15 bytes/row -> exercises padding
+    assert np.array_equal(_decode_bmp(_bmp_bytes(img)), img)
+    # top-down BMP (negative height)
+    buf = bytearray(_bmp_bytes(img))
+    # rewrite height negative and raster top-down
+    struct.pack_into("<i", buf, 22, -3)
+    stride = (5 * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img:
+        raster += row[:, ::-1].tobytes()
+        raster += b"\x00" * (stride - 15)
+    buf[54:] = raster
+    assert np.array_equal(_decode_bmp(bytes(buf)), img)
+
+
+def test_unsupported_variants_raise():
+    img = _ref_image(w=2, h=2)
+    buf = bytearray(_bmp_bytes(img))
+    struct.pack_into("<H", buf, 28, 8)  # 8 bpp
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        _decode_bmp(bytes(buf))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # png stays stubbed
+    # fake fallback still works for undecodable bytes
+    assert decode_image(b"\x89PNG", fake=True).shape == (8, 8, 3)
+
+
+def test_resize_nearest():
+    img = _ref_image(w=8, h=8)
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])  # corner preserved
+
+
+def test_real_codec_through_spark_pipeline(spark):
+    """End-to-end: PPM payload bytes -> binary column -> mapInPandas
+    decode -> per-channel mean features equal the numpy ground truth."""
+    imgs = {i: _ref_image(seed=i) for i in range(1, 4)}
+    rows = [(i, "image", bytearray(encode_ppm(img))) for i, img in imgs.items()]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    feats = {
+        r["media_id"]: r["feat"]
+        for r in extract_features(media).collect()
+    }
+    for i, img in imgs.items():
+        want = img.reshape(-1, 3).mean(axis=0) / 255.0
+        got = np.array(feats[i][:3])
+        assert np.allclose(got, want, atol=1e-6)
