@@ -241,6 +241,8 @@ def bench_prefix_accel(spark, workdir: str, sizes=(20_000, 100_000)) -> dict:
     latency tracks the (pruned) blob read, independent of how many
     dictionary terms share the prefix; without it the same query pays a
     dictionary range scan + a postings scan over every matching term."""
+    from pyspark.sql import functions as F
+
     from marlin_spark.config import EngineConfig
     from marlin_spark.index.build import IndexBuilder
     from marlin_spark.query.engine import SearchEngine
@@ -250,9 +252,24 @@ def bench_prefix_accel(spark, workdir: str, sizes=(20_000, 100_000)) -> dict:
         cdir = stage_corpus(spark, n, os.path.join(workdir, f"pfx_corpus_{n}"))
         idx = os.path.join(workdir, f"pfx_idx_{n}")
         cfg = EngineConfig(prefix_accel=True)
-        IndexBuilder(spark, idx, cfg).build(
-            spark.read.parquet(cdir), "pfx"
+        # the synthetic corpus has a FIXED vocabulary, so to vary the
+        # dictionary size a deterministic unique 't...'-token is appended
+        # per turn: the 't' prefix then matches ~n terms, and the two
+        # index sizes differ in vocabulary by 5x — exactly the axis the
+        # accelerator claims independence from (a dictionary range scan
+        # + per-term postings scan is O(matching terms))
+        trans = spark.read.parquet(cdir).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(
+                    F.lit("tz"),
+                    F.abs(F.xxhash64("conv_id", "turn_idx")).cast("string"),
+                ),
+            ),
         )
+        IndexBuilder(spark, idx, cfg).build(trans, "pfx")
         eng = SearchEngine(spark, idx, cfg)
         n_terms = eng.cat.read(spark, "dictionary").count()
         n_match = eng._docids_for([], ["t"]).count()  # warm both paths
