@@ -19,4 +19,8 @@ pagination) and this package re-derives HOW on Spark.
 
 __version__ = "0.1.0"
 
+from marlin_spark._alloc import tune_allocator as _tune_allocator
+
+_tune_allocator()  # see _alloc.py: page-fault-hostile host mitigation
+
 from marlin_spark.config import EngineConfig  # noqa: F401

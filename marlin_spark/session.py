@@ -71,6 +71,13 @@ def get_spark(
         # shuffle/spill on tmpfs: models cluster-local NVMe; one shared
         # VM disk would otherwise serialize every shuffle in local mode
         b = b.config("spark.local.dir", local_dir)
+    if not os.environ.get("MARLIN_NO_ALLOC_TUNE"):
+        # python workers inherit these from the executor JVM at exec()
+        # time, before their first allocation (see _alloc.py)
+        from marlin_spark._alloc import EXECUTOR_ENV
+
+        for k, v in EXECUTOR_ENV.items():
+            b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
