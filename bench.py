@@ -448,6 +448,33 @@ def _stage_metrics(spark) -> list[dict]:
     return out
 
 
+def _page_touch_control(mb: int = 64) -> float:
+    """Machine TRANSPARENT-HUGEPAGE FAULT rate in MB/s: first-touch a
+    fresh MADV_HUGEPAGE anonymous mapping, numpy's exact allocation
+    pattern for buffers >= 4 MB. On this VM a hugepage fault has been
+    measured at ~170 ms per 2 MB page (~12-22 MB/s) while plain 4k
+    faults run at GB/s — a regime neither the L1-resident compute
+    control nor the resident-buffer bandwidth control can see, and the
+    cause of cross-round drift before _alloc.py disabled the madvise
+    (it degrades as host-side hugepage fragmentation accumulates).
+    Recorded per scaling round as the third machine diagnostic."""
+    import mmap as _mmap
+
+    n = mb * 1024 * 1024
+    m = _mmap.mmap(
+        -1, n, flags=_mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS
+    )
+    try:
+        m.madvise(_mmap.MADV_HUGEPAGE)
+    except (AttributeError, OSError):
+        pass  # no THP on this platform: measures plain fault rate
+    t0 = time.time()
+    m[::4096] = b"\x01" * (n // 4096)  # touch every 4k page: hugepage
+    dt = time.time() - t0              # regions fault once per 2 MB
+    m.close()
+    return mb / dt
+
+
 def _bandwidth_control(cpus: int, seconds: float = 3.0, mb: int = 256) -> float:
     """Machine MEMORY-BANDWIDTH ceiling at a pinned core count: aggregate
     MB/s touched by N taskset-pinned processes streaming a buffer far

@@ -18,6 +18,15 @@ reasoning applies to pyarrow's jemalloc pool, which purges dirty pages
 after a decay interval; disabling the purge keeps Arrow batch buffers
 resident.
 
+The dominant cost turned out to be transparent hugepages: numpy
+madvises MADV_HUGEPAGE on every buffer >= 4 MB, and with THP
+defrag=madvise each fault then synchronously allocates a 2 MB hugepage
+— measured at ~170 ms PER HUGEPAGE on this host (1.9-3.0 s to
+first-touch a 24 MB array vs 20 ms with the madvise disabled; the same
+region is fast on second touch, so it is the hugepage allocation, not
+page backing). Disabled via numpy's runtime switch in-process and
+NUMPY_MADVISE_HUGEPAGE=0 for child processes.
+
 Applied in three places so every process in the job sees it:
 - `tune_allocator()` at package import (driver + any python worker that
   unpickles an engine UDF closure),
@@ -42,6 +51,7 @@ _ONE_GB = 1 << 30
 EXECUTOR_ENV = {
     "MALLOC_MMAP_THRESHOLD_": str(_ONE_GB),
     "MALLOC_TRIM_THRESHOLD_": str(_ONE_GB),
+    "NUMPY_MADVISE_HUGEPAGE": "0",
 }
 
 _done = False
@@ -65,5 +75,17 @@ def tune_allocator() -> bool:
         pa.jemalloc_set_decay_ms(-1)  # -1 = never purge freed pages
     except Exception:
         pass  # system/mimalloc pool or old pyarrow: fine
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # children
+    try:  # runtime switch for this process (env is read at numpy import)
+        import numpy.core.multiarray as _ma
+
+        _ma._set_madvise_hugepage(False)
+    except Exception:
+        try:  # numpy 2.x module layout
+            import numpy._core.multiarray as _ma
+
+            _ma._set_madvise_hugepage(False)
+        except Exception:
+            pass
     _done = True
     return True

@@ -196,6 +196,10 @@ def run_level(args) -> None:
             # one python worker pool per executor, like a real cluster
             "spark.executor.memoryOverhead": "2g",
             "spark.sql.files.openCostInBytes": "1048576",
+            # Xms == Xmx: G1 never uncommits below Xms, so heap pages
+            # are touched once per executor lifetime instead of being
+            # returned to a page-fault-hostile host and re-faulted
+            "spark.executor.extraJavaOptions": f"-Xms{args.mem_gb - 2}g",
         },
     )
     # sanity gate: exactly cores/cores_per_worker executors, one per
@@ -249,6 +253,16 @@ def main() -> None:
     from marlin_spark.session import get_spark
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # stale corpora/workdirs from killed runs hold tmpfs RAM and skew
+    # the host's memory state round-over-round; drop everything except
+    # this run's corpus before starting
+    for d in os.listdir(shm):
+        p = os.path.join(shm, d)
+        if (
+            d.startswith(("marlin_", "aux", "ab_alloc_", "spark_local"))
+            and d != f"marlin_scaling_corpus_{args.turns}"
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     corpus = os.path.join(shm, f"marlin_scaling_corpus_{args.turns}")
     log(f"staging shared corpus -> {corpus}")
     s = get_spark("stage-corpus", master="local[32]", shuffle_partitions=64)
@@ -293,8 +307,9 @@ def main() -> None:
     for rnd in range(args.rounds):
         ctl_lo = bench._compute_control(n_lo, seconds=3)
         bw_lo = bench._bandwidth_control(n_lo, seconds=3)
+        thp_lo = bench._page_touch_control()
         log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core, "
-            f"{bw_lo/n_lo:.0f} MB/s/core")
+            f"{bw_lo/n_lo:.0f} MB/s/core, thp {thp_lo:.0f} MB/s")
         if ctl_lo / n_lo < calm_per_core or bw_lo / n_lo < calm_bw_per_core:
             wait = int(os.environ.get("MARLIN_STORM_WAIT", "240"))
             log(f"round {rnd}: machine degraded — waiting {wait}s")
@@ -303,9 +318,11 @@ def main() -> None:
         res_lo = measure(w_lo)
         ctl_hi = bench._compute_control(n_hi, seconds=3)
         bw_hi = bench._bandwidth_control(n_hi, seconds=3)
+        thp_mid = bench._page_touch_control()
         res_hi = measure(w_hi)
         ctl_post = bench._compute_control(n_lo, seconds=3)
         bw_post = bench._bandwidth_control(n_lo, seconds=3)
+        thp_post = bench._page_touch_control()
         b_eff = res_hi["build_turns_per_sec"] / (ratio * res_lo["build_turns_per_sec"])
         q_eff = res_hi["bm25_batch_qps"] / (ratio * res_lo["bm25_batch_qps"])
         ceiling = ctl_hi / (ratio * ctl_lo)
@@ -322,6 +339,13 @@ def main() -> None:
                 f"pre_{n_lo}": round(bw_lo / n_lo),
                 f"mid_{n_hi}": round(bw_hi / n_hi),
                 f"post_{n_lo}": round(bw_post / n_lo),
+            },
+            # diagnostic only (engine is immune since _alloc.py disabled
+            # the numpy THP madvise): hugepage-fault rate explains any
+            # residual drift the other two controls cannot see
+            "controls_thp_fault_mb_s": {
+                "pre": round(thp_lo), "mid": round(thp_mid),
+                "post": round(thp_post),
             },
             # calm = BOTH the L1-resident compute control AND the
             # streaming-bandwidth control healthy before and after (the
