@@ -152,7 +152,9 @@ def run_engine_bench(spark, n_turns_target: int, workdir: str, input_dir: str | 
     for rep in range(repeats):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
-        c = IndexBuilder(spark, idx_dir, cfg).build(trans, f"bench{rep}")
+        c = IndexBuilder(spark, idx_dir, cfg).build(
+            trans, f"bench{rep}", source_path=input_dir
+        )
         dt = time.time() - t0
         log(
             f"  build[{rep}]: {c['n_docs']} turns in {dt:.1f}s = "

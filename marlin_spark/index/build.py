@@ -72,8 +72,13 @@ class IndexBuilder:
         self.cat = IndexCatalog(index_dir)
 
     # ------------------------------------------------------------------
-    def build(self, transcripts: DataFrame, build_id: str = "build-0", resume: bool = True) -> dict:
+    def build(self, transcripts: DataFrame, build_id: str = "build-0", resume: bool = True,
+              source_path: str | None = None) -> dict:
         self._transcripts = transcripts
+        # opt-in zero-shuffle docid path: set when `transcripts` IS the
+        # full unfiltered scan of a range-sorted parquet table at this
+        # path (verified from footers; falls back silently otherwise)
+        self._source_path = source_path
         mf = BuildManifest(self.cat.dir, build_id)
         t0 = time.time()
         stage_secs = {}
@@ -125,8 +130,17 @@ class IndexBuilder:
         cfg = self.cfg
         # transcripts arrive as an external DataFrame; builder reads it once
         src = self._transcripts
-        docs = with_dense_ids(src, ["conv_id", "turn_idx"], "docid",
-                              num_partitions=cfg.build_partitions)
+        docs = None
+        if getattr(self, "_source_path", None):
+            from marlin_spark.operators.docids import dense_ids_over_sorted_files
+
+            docs = dense_ids_over_sorted_files(
+                self.spark, self._source_path, ["conv_id", "turn_idx"], "docid"
+            )
+        persisted = docs is None
+        if docs is None:
+            docs = with_dense_ids(src, ["conv_id", "turn_idx"], "docid",
+                                  num_partitions=cfg.build_partitions)
         # dl counts tokens across ALL indexed fields (multi-field: the
         # reference walks every indexedFields entry, sindex.c:792-893)
         dl_col = None
@@ -165,7 +179,8 @@ class IndexBuilder:
             F.sum("dl").alias("total"),
         )
         self.cat.write(docs, "docs", options={"parquet.block.size": rg_bytes})
-        docs.unpersist()  # release the with_dense_ids persist
+        if persisted:
+            docs.unpersist()  # release the with_dense_ids persist
         row = obs.get
         self.cat.write_json(
             "stats.json",
