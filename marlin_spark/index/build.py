@@ -47,6 +47,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from marlin_spark.config import EngineConfig
 from marlin_spark.functions.analyzers import token_count_col
@@ -317,7 +318,13 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def _stage_dictionary(self, mf: BuildManifest) -> None:
-        n_terms, fan_in = build_dictionary(self.spark, self.cat, self.cfg)
+        n_terms, fan_in = build_dictionary(
+            self.spark, self.cat, self.cfg,
+            # every postings block is one term's block within a (bucket,
+            # range) group, so blocks_built bounds the vocabulary size —
+            # lets the dictionary pick its single-partition fast path
+            n_blocks_hint=mf.counters().get("blocks_built"),
+        )
         stats = self.cat.read_json("stats.json")
         stats["n_terms"] = n_terms
         self.cat.write_json("stats.json", stats)
@@ -326,13 +333,35 @@ class IndexBuilder:
         )
 
 
-def build_dictionary(spark: SparkSession, cat: IndexCatalog, cfg: EngineConfig) -> tuple[int, int]:
+# Vocabularies below this fit comfortably in one task (a dictionary row is
+# ~50 bytes, so 4M terms ~ 200 MB): assigning dense term ids with a
+# single-partition window is then cheaper than the generic two-pass
+# (persist + per-partition counts + offset join) path in with_dense_ids.
+_DICT_SINGLE_PART_MAX = 4_000_000
+
+
+def build_dictionary(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: EngineConfig,
+    n_blocks_hint: int | None = None,
+) -> tuple[int, int]:
     """Derive the term dictionary from postings blocks: df/cf/max_tfnorm
     per term + dense sorted term ids; partitioned by first-char class
     (fc) with term-sorted files, so exact lookups, prefix range scans AND
     fuzzy expansion all prune at the partition level first and by parquet
     min/max stats second (dtrie/twid analog, SURVEY.md §2.3 +
-    query/fuzzy.py). Also used by streaming compaction."""
+    query/fuzzy.py). Also used by streaming compaction.
+
+    ``n_blocks_hint`` (the postings stage's block counter) upper-bounds
+    the vocabulary: below _DICT_SINGLE_PART_MAX the dense term ids come
+    from one single-partition window and the n_terms/fan_in stats ride
+    the write job as an Observation — the whole stage is a single Spark
+    job instead of ~5 (persist, counts collect, offset join, write,
+    read-back agg). At web scale the hint exceeds the bound and the
+    generic distributed path runs instead."""
+    from pyspark.sql import Observation
+
     posts = cat.read(spark, "postings")
     terms = posts.groupBy("term").agg(
         F.sum("n_docs").alias("df"),
@@ -340,17 +369,25 @@ def build_dictionary(spark: SparkSession, cat: IndexCatalog, cfg: EngineConfig) 
         F.max("max_tfnorm").alias("max_tfnorm"),
         F.count("*").alias("n_blocks"),
     )
-    terms = with_dense_ids(terms, ["term"], "term_id")
+    if n_blocks_hint is not None and n_blocks_hint <= _DICT_SINGLE_PART_MAX:
+        w = Window.orderBy("term")
+        terms = terms.repartition(1).withColumn(
+            "term_id", F.row_number().over(w).cast("long")
+        )
+    else:
+        terms = with_dense_ids(terms, ["term"], "term_id")
     terms = terms.withColumn("fc", term_fc_col(F.col("term")))
+    obs = Observation("dictionary_stats")
+    terms = terms.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("n_blocks").alias("fan_in"),
+    )
     cat.write(
         terms.sortWithinPartitions("term"), "dictionary", partition_by=["fc"]
     )
-    terms.unpersist()
-    stored = cat.read(spark, "dictionary")
-    row = stored.agg(
-        F.count("*").alias("n_terms"), F.sum("n_blocks").alias("fan_in")
-    ).collect()[0]
-    return int(row["n_terms"]), int(row["fan_in"])
+    vals = obs.get
+    return int(vals["n_terms"] or 0), int(vals["fan_in"] or 0)
 
 class _conf:
     """Temporarily set a Spark conf (restores prior value)."""

@@ -369,8 +369,8 @@ def main() -> None:
             json.dump(rounds, f, indent=1)
         log(f"round {rnd}: build_eff={b_eff:.3f} query_eff={q_eff:.3f} "
             f"calm={rec['calm']}")
-        if rec["calm"] and b_eff >= 0.78 and q_eff >= 0.78:
-            break
+        if rec["calm"] and b_eff >= 0.8 and q_eff >= 0.8:
+            break  # north rule met in ONE round — no splicing needed
     if not rounds:
         print(json.dumps({"metric": "standalone_scaling", "value": None,
                           "error": "machine never calm"}), flush=True)
