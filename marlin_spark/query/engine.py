@@ -33,6 +33,26 @@ from marlin_spark.query.wand import make_wand_scorer
 DECODE_SCHEMA = "term string, docid long, tf int, dl int"
 
 
+def _in_pred(col: str, values) -> "F.Column":
+    """IN predicate built as ONE parsed SQL expression. Column.isin ships
+    every element through the py4j gateway as a separate literal call —
+    ~0.2 s of serial driver time for the ~400 distinct terms of a
+    1000-query batch, a fixed per-job cost that caps batched-query
+    scaling. expr() makes a single gateway call; Catalyst still plans
+    In/InSet with full parquet pushdown."""
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    if isinstance(vals[0], str):
+        body = ",".join(
+            "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals
+        )
+    else:
+        body = ",".join(str(int(v)) for v in vals)
+    return F.expr(f"`{col}` IN ({body})")
+
+
 @dataclass
 class QueryPlan:
     query: str
@@ -187,17 +207,26 @@ class SearchEngine:
         nothing) and df/idf of existing terms stay at base values until
         compaction — the standard NRT trade (segment visible, stats
         refreshed on commit)."""
+        deltas = self._delta_dirs("postings")
+        # cache the assembled DataFrame keyed by the committed delta set:
+        # spark.read.parquet lists files + reads a footer on the driver
+        # (~90 ms), a fixed per-query cost. A new committed micro-batch
+        # changes the key, so NRT visibility is unchanged.
+        key = ("postings_df", tuple(deltas))
+        cached = self._df_cache.get(key)
+        if cached is not None:
+            return cached
         base = self.cat.read(self.spark, "postings")
         cols = [
             "term", "range_id", "block_id", "first_docid", "last_docid",
             "n_docs", "sum_tf", "max_tfnorm", "postings", "positions", "bucket",
         ]
         base = base.select(*cols)
-        deltas = self._delta_dirs("postings")
         if deltas:
             base = base.unionByName(
                 self.spark.read.parquet(*deltas).select(*cols)
             )
+        self._df_cache[key] = base
         return base
 
     def _docs_df(self, with_deleted: bool = False) -> DataFrame:
@@ -311,7 +340,7 @@ class SearchEngine:
         conds = []
         if terms:
             fcs = sorted({term_fc_py(t) for t in terms})
-            conds.append(F.col("fc").isin(fcs) & F.col("term").isin(terms))
+            conds.append(_in_pred("fc", fcs) & _in_pred("term", terms))
         for p in prefixes:
             # term range scan over sorted dictionary files (dtrie subtree
             # walk analog, /root/reference/src/main/dtrie.c:642-700);
@@ -326,7 +355,7 @@ class SearchEngine:
             c = fc_of_char(p[0])
             if c is not None:
                 pfcs.append(c)
-            conds.append(F.col("fc").isin(sorted(pfcs)) & F.col("term").startswith(p))
+            conds.append(_in_pred("fc", sorted(pfcs)) & F.col("term").startswith(p))
         if not conds:
             return []
         cond = conds[0]
@@ -401,7 +430,7 @@ class SearchEngine:
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
         )
         return posts.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            _in_pred("bucket", buckets) & _in_pred("term", terms)
         )
 
     def _rank(self, scored: DataFrame, k: int) -> DataFrame:
@@ -651,7 +680,7 @@ class SearchEngine:
                     {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
                 )
                 blocks = posts.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(matched)
+                    _in_pred("bucket", buckets) & _in_pred("term", matched)
                 ).select("term", "postings")
                 parts.append(
                     blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA).select(
@@ -824,7 +853,7 @@ class SearchEngine:
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in words}
         )
         blocks = self._postings_df().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(set(words)))
+            _in_pred("bucket", buckets) & _in_pred("term", sorted(set(words)))
         ).select("term", "range_id", "postings", "positions")
 
         word_seq = list(words)
@@ -1086,7 +1115,7 @@ class SearchEngine:
                 {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
             )
             blocks = self._postings_df().filter(
-                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+                _in_pred("bucket", buckets) & _in_pred("term", terms)
             ).select("term", "range_id", "postings", "positions")
             n_part = self._scorer_partitions()
             kernel = make_rank_kernel(term_meta, words, self.deleted)
@@ -1174,7 +1203,7 @@ class SearchEngine:
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
         )
         blocks = self._postings_df().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            _in_pred("bucket", buckets) & _in_pred("term", terms)
         ).select("term", "postings")
         decoded = blocks.mapInPandas(_decode_blocks, DECODE_SCHEMA)
         meta = self.spark.createDataFrame(
@@ -1237,7 +1266,7 @@ class SearchEngine:
         )
         blocks = (
             self._postings_df()
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(matched))
+            .filter(_in_pred("bucket", buckets) & _in_pred("term", matched))
             .select("term", "range_id", "block_id", "n_docs", "max_tfnorm", "postings")
         )
         n_part = self._scorer_partitions()
@@ -1287,7 +1316,7 @@ class SearchEngine:
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in all_terms}
         )
         posts = self._postings_df().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+            _in_pred("bucket", buckets) & _in_pred("term", all_terms)
         )
         decoded = posts.select("term", "postings").mapInPandas(
             _decode_blocks, DECODE_SCHEMA
