@@ -56,6 +56,9 @@ HEADLINE = [
     "tx_token_count",
     "tx_fingerprint",
     "ev_hourly_counts",
+    "ev_asof_join",
+    "ev_range_join",
+    "dd_connected_components",
     "tpch_q1",
     "tpch_q3_style",
     "mm_binary_meta",

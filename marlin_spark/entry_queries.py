@@ -784,24 +784,32 @@ def dd_minhash_lsh(spark, sf_dir):
     in duplicates rather than quadratic in corpus size."""
     sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    hashes = spark.range(8).select(F.col("id").cast("int").alias("h"))
-    sigs = (
-        sh.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id",
-            "h",
-            F.expr("md5(concat(cast(h AS STRING), '|', s))").alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("sig"))
+    # all 8 minhashes in ONE map-side-combinable aggregation (one
+    # shuffle of 8-column partials) instead of the xN row explosion +
+    # groupBy(doc_id, h) + collect_list band re-aggregation — ~6x less
+    # shuffled data, same signatures
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"md5(concat('{h}|', s))")).alias(f"sig{h}")
+            for h in range(8)
+        ]
     )
-    bands = sigs.groupBy(
-        "doc_id", (F.col("h") / 2).cast("int").alias("band")
-    ).agg(
-        F.expr(
-            "concat_ws('', transform(sort_array(collect_list(struct(h, sig))), x -> x.sig))"
-        ).alias("bucket")
-    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -813,8 +821,17 @@ def dd_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    shx = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sx"))
-    shy = sh.select(F.col("doc_id").alias("b2"), F.col("s").alias("sy"))
+    # verification touches only candidate docs' shingles: semi-join
+    # prune sh down to LSH collisions (AQE broadcasts the small id set)
+    # so exact-Jaccard cost is collision-proportional, not corpus-wide
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    shx = sh_c.select(F.col("doc_id").alias("a"), F.col("s").alias("sx"))
+    shy = sh_c.select(F.col("doc_id").alias("b2"), F.col("s").alias("sy"))
     pr = (
         cand.join(shx, "a")
         .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
@@ -1442,4 +1459,104 @@ def ev_sessionization(spark, sf_dir):
         )
         .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("session_start"))
         .limit(20)
+    )
+
+
+# ═══════════════════════════════════════════════════ temporal joins
+
+@register(
+    "ev_asof_join",
+    """WITH p AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+             FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+      FROM events WHERE event_type = 'view'),
+u AS (SELECT user_id, t, 1 AS tag, event_id AS lid, NULL::BIGINT AS rid FROM p
+      UNION ALL
+      SELECT user_id, t, 0 AS tag, NULL::BIGINT AS lid, event_id AS rid FROM v),
+c AS (SELECT user_id, t, tag, lid,
+        last_value(rid IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, tag, rid
+          ROWS UNBOUNDED PRECEDING) AS view_id,
+        last_value(CASE WHEN rid IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, tag, rid
+          ROWS UNBOUNDED PRECEDING) AS view_t
+      FROM u)
+SELECT user_id, lid AS purchase_id, view_id, (t - view_t)::BIGINT AS lag_s
+FROM c WHERE tag = 1 AND view_id IS NOT NULL
+ORDER BY lag_s DESC, purchase_id LIMIT 20""",
+)
+def ev_asof_join(spark, sf_dir):
+    """AS-OF join (brief's custom-operator list): each purchase matched
+    to the user's latest at-or-before view, via the union-tag + window
+    pattern (operators/temporal.py asof_join) — ONE shuffle on user_id,
+    O(|L|+|R|) rows, no inequality-join cartesian. Top 20 stalest
+    purchases (largest view->purchase lag)."""
+    from marlin_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    v = e.filter(F.col("event_type") == "view").withColumnRenamed(
+        "event_id", "view_id"
+    ).withColumn("view_t", F.col("t"))
+    j = asof_join(
+        p, v, key="user_id", ts="t", left_id="event_id",
+        right_id="view_id", right_payload=("view_t",),
+    )
+    return (
+        j.filter(F.col("view_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "view_id",
+            (F.col("t") - F.col("view_t")).cast("long").alias("lag_s"),
+        )
+        .orderBy(F.desc("lag_s"), F.asc("purchase_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ev_range_join",
+    """WITH c AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+             FROM events WHERE event_type = 'click'),
+er AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+       FROM events WHERE event_type = 'error')
+SELECT er.user_id,
+       count(*)::BIGINT AS n_pairs,
+       count(DISTINCT er.event_id)::BIGINT AS n_errors
+FROM er JOIN c ON er.user_id = c.user_id
+ AND c.t <= er.t AND c.t >= er.t - 21600
+GROUP BY er.user_id
+ORDER BY n_pairs DESC, er.user_id LIMIT 10""",
+)
+def ev_range_join(spark, sf_dir):
+    """Bounded time-range join (errors preceded by clicks within 6 h,
+    same user) through the bucketed equi-join decomposition
+    (operators/temporal.py range_join_bucketed) — never an inequality
+    cartesian. Top 10 users by click->error pair count."""
+    from marlin_spark.operators.temporal import range_join_bucketed
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    er = e.filter(F.col("event_type") == "error").withColumnRenamed(
+        "event_id", "error_id"
+    )
+    c = e.filter(F.col("event_type") == "click").withColumnRenamed(
+        "event_id", "click_id"
+    )
+    pairs = range_join_bucketed(
+        er, c, key="user_id", ts="t", left_id="error_id",
+        right_id="click_id", window_s=21600,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("error_id").alias("n_errors"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("user_id"))
+        .limit(10)
     )
