@@ -129,7 +129,7 @@ class SearchEngine:
         # reads per query regressed bm25_local_qps 63 -> 16; both caches
         # reset here, i.e. at construction and refresh())
         self._pads_cache: dict = {}          # name/path -> pads.Dataset
-        self._bucket_cache: "dict[int, object]" = {}  # bucket -> Table (LRU)
+        self._bucket_cache: "dict[int, object]" = {}  # bucket -> (pdf, spans, nbytes) LRU
         self._bucket_cache_bytes = 0
         self._stats_epoch = self.stats.get("stats_epoch", 0)
         # short-prefix accelerator: available iff built for this index
@@ -743,9 +743,13 @@ class SearchEngine:
     def _bucket_table(self, bucket: int):
         """In-memory posting blocks of one term bucket (BM25 columns
         only — positions stay pruned), term-sorted with a term -> row
-        span index so a query term's blocks are an O(1) dict hit + zero-
-        copy slice. First touch reads the bucket's parquet once; LRU-
-        bounded by cfg.local_cache_bytes. Returns (table, spans)."""
+        span index so a query term's blocks are an O(1) dict hit + a
+        cheap row slice. Cached as a PANDAS frame: the WAND kernel
+        consumes pandas, and converting the Arrow table per query was
+        the dominant warm-path cost (the blob column copies; ~20 ms on
+        a head term vs <1 ms for an iloc view). First touch reads the
+        bucket's parquet once; LRU-bounded by cfg.local_cache_bytes.
+        Returns (pdf, spans, nbytes)."""
         entry = self._bucket_cache.pop(bucket, None)
         if entry is None:
             import pyarrow.dataset as pads
@@ -766,19 +770,18 @@ class SearchEngine:
                 if i == len(terms) or terms[i] != terms[lo]:
                     spans[terms[lo]] = (lo, i)
                     lo = i
-            entry = (tbl, spans)
-            self._bucket_cache_bytes += tbl.nbytes
+            entry = (tbl.to_pandas(), spans, tbl.nbytes)
+            self._bucket_cache_bytes += entry[2]
             while (
                 self._bucket_cache
                 and self._bucket_cache_bytes > self.cfg.local_cache_bytes
             ):
                 oldest = next(iter(self._bucket_cache))  # LRU via dict order
-                self._bucket_cache_bytes -= self._bucket_cache.pop(oldest)[0].nbytes
+                self._bucket_cache_bytes -= self._bucket_cache.pop(oldest)[2]
         self._bucket_cache[bucket] = entry  # (re)insert = most recent
         return entry
 
     def _local_topk(self, plan: QueryPlan) -> list[tuple[int, float]]:
-        import pyarrow as pa
         import pyarrow.dataset as pads
 
         from marlin_spark.query.wand import make_wand_scorer
@@ -787,26 +790,35 @@ class SearchEngine:
         buckets = sorted(
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in terms}
         )
-        tbls = []
+        pdfs = []
         for b in buckets:
-            tbl, spans = self._bucket_table(b)
+            pdf_b, spans, _ = self._bucket_table(b)
             for t in terms:
                 span = spans.get(t)
                 if span is not None:
-                    tbls.append(tbl.slice(span[0], span[1] - span[0]))
-        flt = pads.field("bucket").isin(buckets) & pads.field("term").isin(terms)
-        for d in self._delta_dirs("postings"):  # uncompacted NRT segments
-            # deltas are never cached: they appear/disappear between
-            # compactions and must stay visible without refresh()
-            tbls.append(
-                pads.dataset(d, partitioning="hive", format="parquet").to_table(
-                    columns=self._LOCAL_COLS, filter=flt
-                )
+                    pdfs.append(pdf_b.iloc[span[0]: span[1]])
+        deltas = self._delta_dirs("postings")
+        if deltas:
+            flt = (
+                pads.field("bucket").isin(buckets)
+                & pads.field("term").isin(terms)
             )
+            for d in deltas:  # uncompacted NRT segments
+                # deltas are never cached: they appear/disappear between
+                # compactions and must stay visible without refresh()
+                pdfs.append(
+                    pads.dataset(
+                        d, partitioning="hive", format="parquet"
+                    ).to_table(
+                        columns=self._LOCAL_COLS, filter=flt
+                    ).to_pandas()
+                )
         import pandas as pd  # noqa: F811
 
-        if tbls:
-            pdf = pa.concat_tables(tbls).to_pandas()
+        if len(pdfs) == 1:
+            pdf = pdfs[0]
+        elif pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
         else:
             pdf = pd.DataFrame(columns=self._LOCAL_COLS)
         scorer = make_wand_scorer(

@@ -363,9 +363,12 @@ def main() -> None:
             "detail": {n_lo: res_lo, n_hi: res_hi},
         }
         rounds.append(rec)
-        # pair-specific filename: a later run with a different geometry
-        # must never overwrite this pair's evidence
-        with open(f"BENCH/standalone_rounds_{n_lo}_{n_hi}.json", "w") as f:
+        # pair+corpus-specific filename: a later run with a different
+        # geometry OR corpus size must never overwrite prior evidence
+        mturns = f"{args.turns / 1e6:g}M"
+        with open(
+            f"BENCH/standalone_rounds_{n_lo}_{n_hi}_{mturns}.json", "w"
+        ) as f:
             json.dump(rounds, f, indent=1)
         log(f"round {rnd}: build_eff={b_eff:.3f} query_eff={q_eff:.3f} "
             f"calm={rec['calm']}")
