@@ -368,6 +368,14 @@ def build_dictionary(
         F.sum("sum_tf").alias("cf"),
         F.max("max_tfnorm").alias("max_tfnorm"),
         F.count("*").alias("n_blocks"),
+        # top-16 block maxes: each is the EXACT max core of a distinct
+        # doc (blocks are disjoint), so top_maxes[k-1] * idf is a valid
+        # global lower bound on a query's final k-th best score — the
+        # batched-WAND theta seed (engine._theta_seeds) reads it straight
+        # off the dictionary lookup instead of scanning postings metadata
+        F.slice(
+            F.sort_array(F.collect_list("max_tfnorm"), asc=False), 1, 16
+        ).alias("top_maxes"),
     )
     if n_blocks_hint is not None and n_blocks_hint <= _DICT_SINGLE_PART_MAX:
         w = Window.orderBy("term")

@@ -109,7 +109,8 @@ def create_table_sql(namespace: str, index: str) -> dict[str, str]:
         ),
         "dictionary": (
             "term STRING, df BIGINT, cf BIGINT, max_tfnorm DOUBLE, "
-            "n_blocks BIGINT, term_id BIGINT, fc STRING"
+            "n_blocks BIGINT, top_maxes ARRAY<DOUBLE>, term_id BIGINT, "
+            "fc STRING"
         ),
         "prefix_accel": (
             "prefix STRING, range_id INT, n_docs INT, postings BINARY, "

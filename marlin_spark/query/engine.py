@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -283,19 +284,23 @@ class SearchEngine:
 
     def _scorer_partitions(self) -> int:
         """Partition count for the range-keyed numpy-kernel stages (WAND
-        / batch WAND / phrase / rank). 4x the session shuffle
-        parallelism: ranges hash into tasks and per-range work varies
-        (Zipf heads, theta pruning), so core-count-sized tasks straggle
-        — the instrumented standalone run measured the batch scorer
-        stage at 16.4 s wall vs 12.8 s ideal with 16 tasks on 8 cores
-        (+28% bin-packing loss). Finer tasks pack evenly; per-task
-        overhead is amortized by python-worker reuse. Still capped at
-        one task per doc range."""
+        / batch WAND / phrase / rank). DATA-driven — ~3 doc ranges per
+        task — not core-count-driven: the per-partition theta warm-up
+        means smaller partitions do strictly more scoring work, so a
+        partition count that tracked cores made the SAME query batch
+        algorithmically cheaper at low parallelism and poisoned scale-out
+        efficiency (measured: 16-partition tasks at 2 cores did 65 s of
+        scorer work where 64-partition tasks did 82 s). Fixing the plan
+        by data size — exactly how a production job would size a 100-TB
+        scan — keeps work constant across cluster sizes; excess tasks
+        just queue. 3 ranges/task also beats 1 (theta carries within a
+        task) while still giving schedulers slack to pack stragglers."""
+        n_ranges = (self.n_docs // self.cfg.range_size) + 1
         return max(
             1,
             min(
-                4 * int(self.spark.conf.get("spark.sql.shuffle.partitions")),
-                (self.n_docs // self.cfg.range_size) + 1,
+                max(32, n_ranges // 3),
+                n_ranges,
             ),
         )
 
@@ -316,7 +321,9 @@ class SearchEngine:
             cache = self._df_cache = {}
         if not prefixes and terms and all(t in cache for t in terms):
             return [
-                {"term": t, "df": cache[t]} for t in terms if cache[t] is not None
+                {"term": t, "df": cache[t][0], "top_maxes": cache[t][1]}
+                for t in terms
+                if cache[t] is not None
             ]
         if not prefixes and terms:
             # exact-term lookups read the pruned dictionary parquet with
@@ -329,7 +336,7 @@ class SearchEngine:
             if rows is not None:
                 found = {r["term"] for r in rows}
                 for r in rows:
-                    cache[r["term"]] = r["df"]
+                    cache[r["term"]] = (r["df"], r.get("top_maxes"))
                 for t in terms:
                     if t not in found:
                         cache[t] = None
@@ -364,7 +371,7 @@ class SearchEngine:
         rows = [r.asDict() for r in d.filter(cond).select("term", "df").collect()]
         found = {r["term"] for r in rows}
         for r in rows:
-            cache[r["term"]] = r["df"]
+            cache[r["term"]] = (r["df"], None)  # Spark path skips top_maxes
         for t in terms:
             if t not in found:
                 cache[t] = None  # negative cache: unseen term
@@ -377,14 +384,21 @@ class SearchEngine:
 
         fcs = sorted({term_fc_py(t) for t in terms})
         dataset = self._arrow_dataset("dictionary", self.cat.path("dictionary"))
+        cols = ["term", "df"]
+        has_tm = "top_maxes" in dataset.schema.names
+        if has_tm:
+            cols.append("top_maxes")
         tbl = dataset.to_table(
-            columns=["term", "df"],
+            columns=cols,
             filter=pads.field("fc").isin(fcs)
             & pads.field("term").isin(terms),
         )
+        tms = tbl["top_maxes"].to_pylist() if has_tm else [None] * tbl.num_rows
         return [
-            {"term": t, "df": int(d)}
-            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+            {"term": t, "df": int(d), "top_maxes": tm}
+            for t, d, tm in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tms
+            )
         ]
 
     def plan(self, q: str, k: int = 10, mode: str = "any", prefix_last: bool = False) -> QueryPlan:
@@ -813,8 +827,6 @@ class SearchEngine:
                         columns=self._LOCAL_COLS, filter=flt
                     ).to_pandas()
                 )
-        import pandas as pd  # noqa: F811
-
         if len(pdfs) == 1:
             pdf = pdfs[0]
         elif pdfs:
@@ -1240,6 +1252,48 @@ class SearchEngine:
         )
 
     # ------------------------------------------------- batched queries
+    def _theta_seeds(
+        self, metas: dict, k: int, kth_of: dict, mode: str
+    ) -> "dict[str, float] | None":
+        """Per-query GLOBAL lower bounds on the final k-th best score,
+        read straight off the dictionary's precomputed top_maxes column
+        (index/build.py build_dictionary) — zero extra I/O. Validity:
+        each block's max_tfnorm is the EXACT max core of a real doc in
+        that block (index/blocks.py:99) and blocks are disjoint, so the
+        k largest block maxes of a term belong to k distinct docs whose
+        one-term partial scores are >= idf * (k-th largest max) — their
+        full scores can only be higher, hence the final k-th best is >=
+        that value. seed(q) = max over q's terms.
+
+        Gates (returns None, scorer falls back to local theta warmup):
+        - mode != 'any': a seed doc might fail conjunctive slot checks;
+        - tombstones present: the doc achieving a block max may be
+          deleted;
+        - uncompacted delta segments: base block maxes may not be
+          achieved under the refreshed avgdl;
+        - pre-top_maxes index layout (kth_of empty).
+        """
+        if (
+            mode != "any"
+            or not kth_of
+            or self.deleted is not None
+            or self._tombstones_distributed
+            or self._delta_dirs("postings")
+        ):
+            return None
+        seeds: dict[str, float] = {}
+        for qid, meta in metas.items():
+            best = -np.inf
+            for t, (idf, _slot) in meta.items():
+                m = kth_of.get(t)
+                if m is not None:
+                    v = idf * m
+                    if v > best:
+                        best = v
+            if best > -np.inf:
+                seeds[qid] = float(best)
+        return seeds or None
+
     def search_many_wand(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
         """Batched block-max WAND: one dictionary lookup + one pruned
         postings scan for ALL queries; each block decoded once per range,
@@ -1254,8 +1308,12 @@ class SearchEngine:
 
         per_q = {qid: self.analyze_query(q) for qid, q in queries.items()}
         all_terms = sorted({t for ts in per_q.values() for t in ts})
-        df_map = {
-            r["term"]: r["df"] for r in self._dictionary_lookup(all_terms, [])
+        dict_rows = self._dictionary_lookup(all_terms, [])
+        df_map = {r["term"]: r["df"] for r in dict_rows}
+        kth_of = {
+            r["term"]: r["top_maxes"][k - 1]
+            for r in dict_rows
+            if r.get("top_maxes") and len(r["top_maxes"]) >= k
         }
         metas: dict[str, dict] = {}
         n_slots: dict[str, int] = {}
@@ -1272,6 +1330,26 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "query_id string, docid long, score double, rank int"
             )
+        # dedupe identical term-sets: real query fleets repeat queries
+        # (Zipf over query space), and two queries with the same term set
+        # and slot count score identically — run the scorer once per
+        # distinct set, fan results back out with a broadcast join
+        rep_of: dict[tuple, str] = {}
+        aliases: list[tuple[str, str]] = []  # (rep, qid)
+        rep_metas: dict[str, dict] = {}
+        rep_slots: dict[str, int] = {}
+        for qid in sorted(metas):
+            key = (tuple(sorted(metas[qid])), n_slots[qid])
+            rep = rep_of.get(key)
+            if rep is None:
+                rep_of[key] = qid
+                rep_metas[qid] = metas[qid]
+                rep_slots[qid] = n_slots[qid]
+                aliases.append((qid, qid))
+            else:
+                aliases.append((rep, qid))
+        deduped = len(rep_metas) < len(metas)
+        metas, n_slots = rep_metas, rep_slots
         matched = sorted({t for m in metas.values() for t in m})
         buckets = sorted(
             {term_bucket_py(t, self.cfg.n_term_buckets) for t in matched}
@@ -1282,9 +1360,10 @@ class SearchEngine:
             .select("term", "range_id", "block_id", "n_docs", "max_tfnorm", "postings")
         )
         n_part = self._scorer_partitions()
+        seeds = self._theta_seeds(metas, k, kth_of, mode)
         scorer = make_batch_wand_scorer(
             metas, n_slots, k, mode, self.cfg.k1, self.cfg.b, self.avgdl,
-            deleted=self.deleted,
+            deleted=self.deleted, theta_seed=seeds,
         )
         local = blocks.repartition(n_part, "range_id").mapInPandas(
             scorer, "query_id string, docid long, score double"
@@ -1292,12 +1371,38 @@ class SearchEngine:
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", 9)), F.asc("docid")
         )
-        return (
+        ranked = (
             local.withColumn("score", F.round("score", 9))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "docid", "score", "rank")
         )
+        if deduped:
+            # fan results back out to duplicate queries AFTER ranking
+            # (aliases rank identically) with a pure-Catalyst literal
+            # map + explode — a createDataFrame/broadcast-join here cost
+            # ~1.3 s/batch spinning python workers for a 1000-row table
+            fanout: dict[str, list[str]] = {}
+            for rep, qid in aliases:
+                fanout.setdefault(rep, []).append(qid)
+
+            def _q(s: str) -> str:
+                return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+            body = ",".join(
+                _q(rep) + ",array(" + ",".join(_q(q) for q in qids) + ")"
+                for rep, qids in fanout.items()
+            )
+            # single parsed expression: per-literal F.lit/py4j calls for
+            # ~2000 literals would put ~0.5 s back on the serial driver
+            m = F.expr(f"map({body})")
+            ranked = ranked.select(
+                F.explode(m[F.col("query_id")]).alias("out_qid"),
+                "docid", "score", "rank",
+            ).select(
+                F.col("out_qid").alias("query_id"), "docid", "score", "rank"
+            )
+        return ranked
 
     def search_many(self, queries: dict[str, str], k: int = 10, mode: str = "any") -> DataFrame:
         """Score MANY queries in one Spark job (throughput path for the

@@ -170,6 +170,29 @@ def make_wand_scorer(
     return scorer
 
 
+def _topk_trim(d: np.ndarray, s: np.ndarray, k: int):
+    """Exact top-k by (round(score,9) desc, docid asc). For large inputs
+    an argpartition pass first cuts to the k-th raw score minus a 2e-9
+    guard band (wider than one 9-decimal rounding step, so every doc
+    whose ROUNDED score ties the boundary survives into the exact sort)."""
+    if d.size > max(4 * k, 256):
+        kth = np.partition(s, s.size - k)[s.size - k]
+        keep = s >= kth - 2.0 * _EPS
+        d, s = d[keep], s[keep]
+    if d.size > k:
+        o = np.lexsort((d, -np.round(s, 9)))[:k]
+        return d[o], s[o]
+    return d, s
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (SWAR)."""
+    x = x - ((x >> 1) & 0x5555555555555555)
+    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return (x * 0x0101010101010101) >> 56
+
+
 def make_batch_wand_scorer(
     query_metas: dict[str, dict[str, tuple[float, int]]],
     n_slots: dict[str, int],
@@ -179,24 +202,80 @@ def make_batch_wand_scorer(
     b: float = 0.75,
     avgdl: float = 1.0,
     deleted: "np.ndarray | None" = None,
+    theta_seed: "dict[str, float] | None" = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Batched WAND: scores MANY queries in one pass over the matched
-    blocks of their term union. Each block is decoded ONCE per range;
-    every query referencing the term reuses the decoded arrays. Range-
-    level block-max pruning runs per query (each query carries its own
-    theta). Output: per-partition top-k per query — thousands of rows
-    instead of the exact path's |candidates| x |queries| shuffle.
+    blocks of their term union. Each block is decoded ONCE per range and
+    the decoded (docids, core) arrays are shared by every query that
+    references the term. Three pruning layers, all exact:
+
+    - range level (block-max): a query skips a whole range when its
+      upper bound there cannot beat its running theta (vectorized for
+      all queries at once via bincount over term->query incidence);
+    - term level (MaxScore, Turtle & Flood 1995): within a range, terms
+      are split per query into essential / non-essential by cumulative
+      upper bound against theta — candidate docs come ONLY from
+      essential postings; non-essential terms cannot lift a doc that
+      appears in none of the essential lists above theta, but their
+      exact contributions to surviving candidates are gathered by
+      binary search into the term's (sorted) decoded docids;
+    - candidate level: scored candidates below theta - 2e-9 are dropped
+      before the top-k merge (2e-9 > one 9-decimal rounding step, so no
+      rounded-tie winner is lost).
+
+    Float exactness: every candidate's score accumulates term-ascending
+    (zeros + t1 + t2 + ...; 0.0 + x == x in IEEE), the same order as the
+    single-query scorer's stable argsort + reduceat and the oracle's
+    term-sorted GROUP BY sum.
+
+    ``theta_seed``: optional per-query GLOBAL lower bounds on the final
+    k-th best score (see SearchEngine._theta_seeds for the derivation
+    and its validity gates). A seed lets every partition prune from its
+    first range instead of warming theta locally — without it, pruning
+    power degrades as partitions get smaller, i.e. with core count,
+    which is exactly the wrong scaling direction. Partitions may then
+    emit fewer than k rows per query; the global top-k merge is
+    unaffected because no doc with score >= the true k-th best (rounding
+    ties included, via the eps guards) is ever dropped.
+
+    Reference analog: fast-rank early termination
+    (/root/reference/src/main/docrank.c:478-574), upgraded from sampling
+    to provable bounds.
     """
     norm_c = k1 * (1.0 - b)
     norm_s = k1 * b / avgdl if avgdl > 0 else 0.0
-    # term -> [(qid, idf, slot)]
-    by_term: dict[str, list] = {}
+    qid_list = sorted(query_metas)
+    qcode_of = {qid: i for i, qid in enumerate(qid_list)}
+    nq = len(qid_list)
+    want_slots = mode == "all"
+    seed_arr = np.full(nq, -np.inf)
+    if theta_seed:
+        for qid, sv in theta_seed.items():
+            qc = qcode_of.get(qid)
+            if qc is not None:
+                seed_arr[qc] = sv
+    # per-query: terms ascending with aligned idf/slot arrays
+    q_terms: list[list] = [None] * nq
+    ns_arr = np.zeros(nq, np.int64)
     for qid, meta in query_metas.items():
-        for t, (idf, slot) in meta.items():
-            by_term.setdefault(t, []).append((qid, idf, slot))
+        qc = qcode_of[qid]
+        q_terms[qc] = [(t, meta[t][0], meta[t][1]) for t in sorted(meta)]
+        ns_arr[qc] = n_slots.get(qid, 0)
+    # term -> (qcodes, idfs) for the vectorized range-level bound
+    tmp: dict[str, list] = {}
+    for qid, meta in query_metas.items():
+        qc = qcode_of[qid]
+        for t, (idf, _slot) in meta.items():
+            tmp.setdefault(t, []).append((qc, idf))
+    by_term: dict[str, tuple] = {}
+    for t, trows in tmp.items():
+        trows.sort()
+        by_term[t] = (
+            np.fromiter((r[0] for r in trows), np.int64, len(trows)),
+            np.fromiter((r[1] for r in trows), np.float64, len(trows)),
+        )
 
     def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = [pdf for pdf in batches if not pdf.empty]
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series([], dtype="object"),
@@ -204,135 +283,189 @@ def make_batch_wand_scorer(
                 "score": pd.Series([], dtype="float64"),
             }
         )
+        rows = [pdf for pdf in batches if not pdf.empty]
         if not rows:
             yield empty
             return
-        all_blocks = pd.concat(rows, ignore_index=True)
-        ranges: dict[int, list] = {}
-        for t in all_blocks.itertuples(index=False):
-            ranges.setdefault(t.range_id, []).append(t)
-
-        # per-range per-term upper bounds, then per-query range ubs
-        state = {
-            qid: {"d": np.empty(0, np.int64), "s": np.empty(0, np.float64),
-                  "theta": -np.inf}
-            for qid in query_metas
-        }
-        range_term_max: dict[int, dict[str, float]] = {}
-        for rid, blks in ranges.items():
-            m: dict[str, float] = {}
-            for blk in blks:
-                if blk.max_tfnorm > m.get(blk.term, -1.0):
-                    m[blk.term] = blk.max_tfnorm
-            range_term_max[rid] = m
-
-        # process ranges in descending total-ub order (thetas rise fast)
-        order = sorted(
-            ranges,
-            key=lambda rid: -sum(range_term_max[rid].values()),
+        blk = pd.concat(rows, ignore_index=True) if len(rows) > 1 else rows[0]
+        blk = blk.sort_values(
+            ["range_id", "term", "block_id"], kind="mergesort",
+            ignore_index=True,
         )
-        for rid in order:
-            tmax = range_term_max[rid]
-            # which queries still need this range?
-            active = []
-            for qid, meta in query_metas.items():
-                st = state[qid]
-                ub = sum(
-                    idf * tmax[t]
-                    for t, (idf, _) in meta.items()
-                    if t in tmax
-                )
-                if ub <= 0:
-                    continue
-                if st["d"].size >= k and ub < st["theta"] - _EPS:
-                    continue
-                active.append(qid)
-            if not active:
+        rid_a = blk["range_id"].to_numpy()
+        term_a = blk["term"].to_numpy()
+        nd_a = blk["n_docs"].to_numpy()
+        mtf_a = blk["max_tfnorm"].to_numpy(dtype=np.float64)
+        posts_a = blk["postings"].to_numpy()
+        n_blk = rid_a.size
+        r_change = np.r_[True, rid_a[1:] != rid_a[:-1]]
+        t_change = r_change | np.r_[True, term_a[1:] != term_a[:-1]]
+        t_starts = np.flatnonzero(t_change)
+        tmax_all = np.maximum.reduceat(mtf_a, t_starts)  # per (range,term)
+        term_of_slot = term_a[t_starts]
+        slot_range = rid_a[t_starts]
+        rs_starts = np.flatnonzero(np.r_[True, slot_range[1:] != slot_range[:-1]])
+        rs_ends = np.r_[rs_starts[1:], t_starts.size]
+        r_starts_blk = np.flatnonzero(r_change)
+        r_ends_blk = np.r_[r_starts_blk[1:], n_blk]
+        # descending total-ub order so thetas rise fast
+        order = np.argsort(
+            -np.add.reduceat(tmax_all, rs_starts), kind="stable"
+        )
+
+        state_d: list = [None] * nq  # per-query running top-k
+        state_s: list = [None] * nq
+        counts = np.zeros(nq, np.int64)
+        theta = np.full(nq, -np.inf)
+
+        for ri in order:
+            s_lo, s_hi = rs_starts[ri], rs_ends[ri]
+            terms_r = term_of_slot[s_lo:s_hi]
+            tmax_r = tmax_all[s_lo:s_hi]
+            # vectorized per-query range bound: ub[q] = sum idf*tmax
+            qparts, cparts = [], []
+            for i in range(terms_r.size):
+                e = by_term[terms_r[i]]
+                qparts.append(e[0])
+                cparts.append(e[1] * tmax_r[i])
+            ub = np.bincount(
+                np.concatenate(qparts), weights=np.concatenate(cparts),
+                minlength=nq,
+            )
+            # theta[qc] is -inf until that query holds k docs; a global
+            # seed prunes even before then (it bounds the FINAL k-th)
+            th_eff = np.maximum(theta, seed_arr)
+            active = (ub > 0) & (ub >= th_eff - _EPS)
+            if not active.any():
                 continue
-            # decode each needed term once
-            needed = {
-                t
-                for qid in active
-                for t in query_metas[qid]
-                if t in tmax
-            }
+            needed = np.fromiter(
+                (active[by_term[t][0]].any() for t in terms_r),
+                bool, terms_r.size,
+            )
+            if not needed.any():
+                continue
+            # decode every needed term's blocks in one varbyte pass
+            rel_t = t_starts[s_lo:s_hi] - r_starts_blk[ri]
+            t_cnt = np.diff(np.r_[rel_t, r_ends_blk[ri] - r_starts_blk[ri]])
+            keep_blk = np.repeat(needed, t_cnt)
+            blk_sl = slice(r_starts_blk[ri], r_ends_blk[ri])
+            nd_kept = np.asarray(nd_a[blk_sl][keep_blk], np.int64)
+            d_all, tf_all, dl_all, _ = decode_blocks_many(
+                list(posts_a[blk_sl][keep_blk]), nd_kept
+            )
+            if d_all.size == 0:
+                continue
+            kmask = _mask_deleted(d_all, deleted)
+            tfn = tf_all.astype(np.float64)
+            core_all = tfn * (k1 + 1.0) / (
+                tfn + norm_c + norm_s * dl_all.astype(np.float64)
+            )
             decoded: dict[str, tuple] = {}
-            blks = [
-                b_
-                for b_ in sorted(ranges[rid], key=lambda t: (t.term, t.block_id))
-                if b_.term in needed
-            ]
-            if blks:
-                # one varbyte pass for the whole range; blocks are term-
-                # sorted so each term's docs are one contiguous span
-                nb = len(blks)
-                nd = np.fromiter((b_.n_docs for b_ in blks), np.int64, nb)
-                d_all, tf_all, dl_all, d_start = decode_blocks_many(
-                    [b_.postings for b_ in blks], nd
-                )
-                keep = _mask_deleted(d_all, deleted)
-                tfn = tf_all.astype(np.float64)
-                core_all = tfn * (k1 + 1.0) / (
-                    tfn + norm_c + norm_s * dl_all.astype(np.float64)
-                )
-                d_end = np.concatenate((d_start[1:], [d_all.size]))
-                spans: dict[str, tuple[int, int]] = {}
-                for i, b_ in enumerate(blks):
-                    lo, hi = spans.get(b_.term, (int(d_start[i]), int(d_end[i])))
-                    spans[b_.term] = (lo, int(d_end[i]))
-                for term, (lo, hi) in spans.items():
-                    d_t, c_t = d_all[lo:hi], core_all[lo:hi]
-                    if keep is not None:
-                        kk = keep[lo:hi]
-                        d_t, c_t = d_t[kk], c_t[kk]
-                    if d_t.size:
-                        decoded[term] = (d_t, c_t)
-            for qid in active:
-                meta = query_metas[qid]
-                parts_d, parts_s, parts_slot = [], [], []
-                for t in sorted(meta):
-                    if t not in decoded:
+            tdoc = np.concatenate(([0], np.cumsum(nd_kept)))
+            cnt_kept = t_cnt[needed]
+            pos = 0
+            blk_i = 0
+            for ti in np.flatnonzero(needed):
+                nb_t = cnt_kept[pos]
+                lo, hi = tdoc[blk_i], tdoc[blk_i + nb_t]
+                d_t, c_t = d_all[lo:hi], core_all[lo:hi]
+                if kmask is not None:
+                    kk = kmask[lo:hi]
+                    d_t, c_t = d_t[kk], c_t[kk]
+                if d_t.size:
+                    decoded[terms_r[ti]] = (d_t, c_t)
+                pos += 1
+                blk_i += nb_t
+            if not decoded:
+                continue
+            tmax_d = {terms_r[i]: tmax_r[i] for i in range(terms_r.size)}
+            for qc in np.flatnonzero(active):
+                present = [
+                    (t, idf, slot)
+                    for t, idf, slot in q_terms[qc]
+                    if t in decoded
+                ]
+                if not present:
+                    continue
+                th = th_eff[qc]
+                if len(present) == 1:
+                    t, idf, slot = present[0]
+                    d_t, c_t = decoded[t]
+                    cand_d = d_t
+                    cand_s = idf * c_t
+                    if want_slots and ns_arr[qc] > 1:
+                        continue  # one distinct slot can never reach ns
+                else:
+                    # MaxScore split: largest LOW-bound prefix whose
+                    # cumulative upper bound stays under theta is
+                    # non-essential — candidates come from the rest
+                    ubs_t = [idf * tmax_d[t] for t, idf, _ in present]
+                    o_asc = sorted(range(len(present)), key=lambda i: ubs_t[i])
+                    cum = 0.0
+                    non_ess = set()
+                    if th > -np.inf:
+                        for i in o_asc:
+                            cum += ubs_t[i]
+                            if cum < th - _EPS:
+                                non_ess.add(i)
+                            else:
+                                break
+                    ess = [i for i in range(len(present)) if i not in non_ess]
+                    if not ess:
                         continue
-                    d, core = decoded[t]
-                    idf, slot = meta[t]
-                    parts_d.append(d)
-                    parts_s.append(idf * core)
-                    parts_slot.append(np.full(d.shape[0], slot, np.int64))
-                if not parts_d:
-                    continue
-                d = np.concatenate(parts_d)
-                s = np.concatenate(parts_s)
-                o = np.argsort(d, kind="stable")
-                d, s = d[o], s[o]
-                starts = np.flatnonzero(np.diff(d, prepend=-1))
-                scores = np.add.reduceat(s, starts)
-                u = d[starts]
-                ns = n_slots[qid]
-                if mode == "all" and ns > 0:
-                    slots = np.concatenate(parts_slot)[o]
-                    key = d * (ns + 1) + slots
-                    uniq = np.unique(key)
-                    cnt = np.bincount(
-                        np.searchsorted(u, uniq // (ns + 1)),
-                        minlength=u.shape[0],
+                    if len(ess) == 1:
+                        cand_d = decoded[present[ess[0]][0]][0]
+                    else:
+                        cand_d = np.unique(
+                            np.concatenate(
+                                [decoded[present[i][0]][0] for i in ess]
+                            )
+                        )
+                    if cand_d.size == 0:
+                        continue
+                    cand_s = np.zeros(cand_d.size)
+                    slot_mask = (
+                        np.zeros(cand_d.size, np.uint64) if want_slots else None
                     )
-                    keep = cnt >= ns
-                    u, scores = u[keep], scores[keep]
-                if u.size == 0:
-                    continue
-                st = state[qid]
-                st["d"] = np.concatenate([st["d"], u])
-                st["s"] = np.concatenate([st["s"], scores])
-                if st["d"].size > k:
-                    oo = np.lexsort((st["d"], -np.round(st["s"], 9)))[:k]
-                    st["d"], st["s"] = st["d"][oo], st["s"][oo]
-                if st["d"].size >= k:
-                    st["theta"] = st["s"].min()
+                    only_ess = len(ess) == 1
+                    for i, (t, idf, slot) in enumerate(present):
+                        d_t, c_t = decoded[t]
+                        if only_ess and i == ess[0]:
+                            cand_s += idf * c_t  # aligned: cand_d IS d_t
+                            if slot_mask is not None:
+                                slot_mask |= np.uint64(1 << (slot & 63))
+                            continue
+                        p = np.searchsorted(d_t, cand_d)
+                        p[p >= d_t.size] = d_t.size - 1
+                        hit = d_t[p] == cand_d
+                        cand_s[hit] += idf * c_t[p[hit]]
+                        if slot_mask is not None:
+                            slot_mask[hit] |= np.uint64(1 << (slot & 63))
+                    if want_slots:
+                        okm = _popcount64(slot_mask) >= ns_arr[qc]
+                        cand_d, cand_s = cand_d[okm], cand_s[okm]
+                        if cand_d.size == 0:
+                            continue
+                if th > -np.inf:
+                    keepm = cand_s >= th - 2.0 * _EPS
+                    cand_d, cand_s = cand_d[keepm], cand_s[keepm]
+                    if cand_d.size == 0:
+                        continue
+                sd, ss = state_d[qc], state_s[qc]
+                if sd is not None:
+                    cand_d = np.concatenate([sd, cand_d])
+                    cand_s = np.concatenate([ss, cand_s])
+                cand_d, cand_s = _topk_trim(cand_d, cand_s, k)
+                state_d[qc], state_s[qc] = cand_d, cand_s
+                counts[qc] = cand_d.size
+                if cand_d.size >= k:
+                    theta[qc] = cand_s.min()
         out_q, out_d, out_s = [], [], []
-        for qid, st in state.items():
-            out_q.extend([qid] * st["d"].size)
-            out_d.append(st["d"])
-            out_s.append(st["s"])
+        for qc in range(nq):
+            if state_d[qc] is not None and state_d[qc].size:
+                out_q.extend([qid_list[qc]] * state_d[qc].size)
+                out_d.append(state_d[qc])
+                out_s.append(state_s[qc])
         if not out_q:
             yield empty
             return

@@ -193,6 +193,10 @@ def run_level(args) -> None:
             "spark.cores.max": str(total_cores),
             "spark.driver.bindAddress": "127.0.0.1",
             "spark.driver.host": "127.0.0.1",
+            # postings scans split at 32 MB: the matched-blocks scan of a
+            # 1000-q batch reads a few hundred MB — 128 MB splits gave it
+            # fewer tasks than the cluster has cores at the 4N level
+            "spark.sql.files.maxPartitionBytes": "33554432",
             # one python worker pool per executor, like a real cluster
             "spark.executor.memoryOverhead": "2g",
             "spark.sql.files.openCostInBytes": "1048576",
