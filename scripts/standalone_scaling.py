@@ -193,17 +193,16 @@ def run_level(args) -> None:
             "spark.cores.max": str(total_cores),
             "spark.driver.bindAddress": "127.0.0.1",
             "spark.driver.host": "127.0.0.1",
-            # postings scans split at 32 MB: the matched-blocks scan of a
-            # 1000-q batch reads a few hundred MB — 128 MB splits gave it
-            # fewer tasks than the cluster has cores at the 4N level
-            "spark.sql.files.maxPartitionBytes": "33554432",
             # one python worker pool per executor, like a real cluster
             "spark.executor.memoryOverhead": "2g",
             "spark.sql.files.openCostInBytes": "1048576",
-            # Xms == Xmx: G1 never uncommits below Xms, so heap pages
-            # are touched once per executor lifetime instead of being
-            # returned to a page-fault-hostile host and re-faulted
-            "spark.executor.extraJavaOptions": f"-Xms{args.mem_gb - 2}g",
+            # NO -Xms=Xmx: pre-committing W x 20 GB makes the FIRST timed
+            # build eat the whole heap's first-touch faults — 4x the pages
+            # at the 4N level, i.e. an asymmetric fixed cost that sank
+            # build_eff to 0.17-0.40 on a fault-hostile host day (4M rounds
+            # 0-3, BENCH/standalone_rounds_2_8_4M.json) where the identical
+            # workload without it had measured 0.86. Growing the heap on
+            # demand spreads faulting across phases at both levels alike.
         },
     )
     # sanity gate: exactly cores/cores_per_worker executors, one per
@@ -307,6 +306,12 @@ def main() -> None:
             shutil.rmtree(cdir, ignore_errors=True)
 
     calm_bw_per_core = float(os.environ.get("MARLIN_CALM_BW", "8000"))  # MB/s
+    # hugepage-fault-rate gate: the host swings 89 MB/s .. 2840 MB/s
+    # (4M rounds, 2026-08-17); in the slow regime page backing dominates
+    # every first-touch (JVM heap growth, shuffle buffers, numpy highwater
+    # growth) with a 4x-asymmetric bill at the 4N level — rounds measured
+    # there say nothing about the engine
+    calm_thp = float(os.environ.get("MARLIN_CALM_THP", "700"))  # MB/s
     rounds = []
     for rnd in range(args.rounds):
         ctl_lo = bench._compute_control(n_lo, seconds=3)
@@ -314,7 +319,11 @@ def main() -> None:
         thp_lo = bench._page_touch_control()
         log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core, "
             f"{bw_lo/n_lo:.0f} MB/s/core, thp {thp_lo:.0f} MB/s")
-        if ctl_lo / n_lo < calm_per_core or bw_lo / n_lo < calm_bw_per_core:
+        if (
+            ctl_lo / n_lo < calm_per_core
+            or bw_lo / n_lo < calm_bw_per_core
+            or thp_lo < calm_thp
+        ):
             wait = int(os.environ.get("MARLIN_STORM_WAIT", "240"))
             log(f"round {rnd}: machine degraded — waiting {wait}s")
             time.sleep(wait)
@@ -344,9 +353,10 @@ def main() -> None:
                 f"mid_{n_hi}": round(bw_hi / n_hi),
                 f"post_{n_lo}": round(bw_post / n_lo),
             },
-            # diagnostic only (engine is immune since _alloc.py disabled
-            # the numpy THP madvise): hugepage-fault rate explains any
-            # residual drift the other two controls cannot see
+            # third calm criterion (gated above and in "calm"): numpy is
+            # immune since _alloc.py, but JVM heap growth and shuffle
+            # buffers still first-touch through the host's fault path,
+            # which this control measures and the other two cannot see
             "controls_thp_fault_mb_s": {
                 "pre": round(thp_lo), "mid": round(thp_mid),
                 "post": round(thp_post),
@@ -358,7 +368,8 @@ def main() -> None:
             "calm": min(ctl_lo / n_lo, ctl_post / n_lo) >= calm_per_core
                     and ctl_hi / n_hi >= 0.6 * calm_per_core
                     and min(bw_lo / n_lo, bw_post / n_lo) >= calm_bw_per_core
-                    and bw_hi / n_hi >= 0.5 * calm_bw_per_core,
+                    and bw_hi / n_hi >= 0.5 * calm_bw_per_core
+                    and min(thp_lo, thp_mid, thp_post) >= calm_thp,
             "build_eff": round(b_eff, 3),
             "query_eff": round(q_eff, 3),
             "machine_compute_ceiling": round(ceiling, 3),
