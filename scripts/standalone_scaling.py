@@ -193,6 +193,12 @@ def run_level(args) -> None:
             "spark.cores.max": str(total_cores),
             "spark.driver.bindAddress": "127.0.0.1",
             "spark.driver.host": "127.0.0.1",
+            # 32 MB scan splits: sizes the QUERY postings scan (a few
+            # hundred MB matched per 1000-q batch) to >= 4N-level core
+            # count; build stages pin their own split width via _conf
+            # (postings) or docs row-group size, so they are unaffected
+            # (docs stage measured 13 tasks with and without this)
+            "spark.sql.files.maxPartitionBytes": "33554432",
             # one python worker pool per executor, like a real cluster
             "spark.executor.memoryOverhead": "2g",
             "spark.sql.files.openCostInBytes": "1048576",
@@ -291,6 +297,15 @@ def main() -> None:
                    "--cores-per-worker", str(cpw), "--mem-gb", str(args.mem_gb),
                    "--turns", str(args.turns), "--input-dir", corpus,
                    "--shm", shm]
+            # driver on cores the workers don't own: a real cluster's
+            # driver is its own node; unpinned it stole cycles from the
+            # pinned executor ranges, inflating the 4N level's serial
+            # plan time (0.8-1.2 s vs 0.3-0.5 s measured uncontended)
+            n_worker_cores = workers * cpw
+            n_host = os.cpu_count() or n_worker_cores
+            if shutil.which("taskset") and n_host > n_worker_cores:
+                cmd = ["taskset", "-c",
+                       f"{n_worker_cores}-{n_host - 1}"] + cmd
             env = dict(os.environ, SPARK_DRIVER_MEM="16g",
                        MARLIN_SPARK_UI="true",  # stage metrics via REST
                        SPARK_GRAFT_SKIP_AUX="1",
