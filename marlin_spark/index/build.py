@@ -129,6 +129,8 @@ class IndexBuilder:
     # ------------------------------------------------------------------
     def _stage_docs(self, mf: BuildManifest) -> None:
         cfg = self.cfg
+        phases: dict[str, float] = {}
+        t = time.time()
         # transcripts arrive as an external DataFrame; builder reads it once
         src = self._transcripts
         docs = None
@@ -138,6 +140,8 @@ class IndexBuilder:
             docs = dense_ids_over_sorted_files(
                 self.spark, self._source_path, ["conv_id", "turn_idx"], "docid"
             )
+        phases["docid_plan"] = round(time.time() - t, 2)
+        t = time.time()
         persisted = docs is None
         if docs is None:
             docs = with_dense_ids(src, ["conv_id", "turn_idx"], "docid",
@@ -179,7 +183,11 @@ class IndexBuilder:
             F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("total"),
         )
+        phases["plan"] = round(time.time() - t, 2)
+        t = time.time()
         self.cat.write(docs, "docs", options={"parquet.block.size": rg_bytes})
+        phases["write_job"] = round(time.time() - t, 2)
+        t = time.time()
         if persisted:
             docs.unpersist()  # release the with_dense_ids persist
         row = obs.get
@@ -201,7 +209,12 @@ class IndexBuilder:
                 "build_id": mf.build_id,
             },
         )
-        mf.mark_done("docs", {"n_docs": int(row["n"]), "total_tokens": int(row["total"] or 0)})
+        phases["stats"] = round(time.time() - t, 2)
+        mf.mark_done(
+            "docs",
+            {"n_docs": int(row["n"]), "total_tokens": int(row["total"] or 0),
+             "docs_phases": phases},
+        )
 
     # ------------------------------------------------------------------
     def _range_groups(self, n_docs: int) -> list[tuple[int, int]]:
@@ -333,11 +346,17 @@ class IndexBuilder:
         )
 
 
-# Vocabularies below this fit comfortably in one task (a dictionary row is
-# ~50 bytes, so 4M terms ~ 200 MB): assigning dense term ids with a
-# single-partition window is then cheaper than the generic two-pass
-# (persist + per-partition counts + offset join) path in with_dense_ids.
-_DICT_SINGLE_PART_MAX = 4_000_000
+# Vocabularies at or below this are sorted and id-assigned ON THE DRIVER
+# (planner-side bounded collect, ~100 B/term -> <=50 MB): after the one
+# postings scan that computes the per-term aggregates, every distributed
+# dense-id scheme (single-partition window, or with_dense_ids' range
+# sample + counts + offset join) only adds jobs whose wall clock is pure
+# fixed cost — measured 5.8 s FLAT at both 2 and 8 cores on the 3.4M-turn
+# corpus (stage scaling efficiency 0.27, the single largest cap on the
+# build's N->4N efficiency in the round-4 standalone detail). Above the
+# bound the distributed two-pass runs, with the aggregated terms frame
+# persisted so the range sampler does not re-scan postings.
+_DICT_DRIVER_MAX = 500_000
 
 
 def build_dictionary(
@@ -353,14 +372,16 @@ def build_dictionary(
     min/max stats second (dtrie/twid analog, SURVEY.md §2.3 +
     query/fuzzy.py). Also used by streaming compaction.
 
-    ``n_blocks_hint`` (the postings stage's block counter) upper-bounds
-    the vocabulary: below _DICT_SINGLE_PART_MAX the dense term ids come
-    from one single-partition window and the n_terms/fan_in stats ride
-    the write job as an Observation — the whole stage is a single Spark
-    job instead of ~5 (persist, counts collect, offset join, write,
-    read-back agg). At web scale the hint exceeds the bound and the
-    generic distributed path runs instead."""
-    from pyspark.sql import Observation
+    The stage scans postings exactly once (persist + count), then picks
+    the id-assignment path from the TRUE vocabulary size (the old
+    ``n_blocks_hint`` upper bound overshot by >100x on Zipf corpora,
+    forcing distributed machinery onto kilobyte vocabularies): at or
+    below _DICT_DRIVER_MAX the sorted dense ids are assigned on the
+    driver from the cached aggregates — one scan job plus one small
+    write job, nothing serial on an executor; above it with_dense_ids
+    runs over the persisted frame (sampling, counts and offset join all
+    read cache, never postings)."""
+    from pyspark.storagelevel import StorageLevel
 
     posts = cat.read(spark, "postings")
     terms = posts.groupBy("term").agg(
@@ -377,25 +398,42 @@ def build_dictionary(
             F.sort_array(F.collect_list("max_tfnorm"), asc=False), 1, 16
         ).alias("top_maxes"),
     )
-    if n_blocks_hint is not None and n_blocks_hint <= _DICT_SINGLE_PART_MAX:
-        w = Window.orderBy("term")
-        terms = terms.repartition(1).withColumn(
-            "term_id", F.row_number().over(w).cast("long")
-        )
+    cached = terms.persist(StorageLevel.MEMORY_AND_DISK)
+    n_terms = cached.count()  # the one postings scan; fills the cache
+    if n_terms <= _DICT_DRIVER_MAX:
+        rows = [r.asDict() for r in cached.collect()]  # cache hit, tiny
+        rows.sort(key=lambda r: r["term"])
+        fan_in = 0
+        for i, r in enumerate(rows):
+            r["term_id"] = i + 1
+            fan_in += r["n_blocks"]
+        out = spark.createDataFrame(
+            rows,
+            "term string, df long, cf long, max_tfnorm double, "
+            "n_blocks long, top_maxes array<double>, term_id long",
+        ).select("term", "df", "cf", "max_tfnorm", "n_blocks",
+                 "top_maxes", "term_id")
     else:
-        terms = with_dense_ids(terms, ["term"], "term_id")
-    terms = terms.withColumn("fc", term_fc_col(F.col("term")))
-    obs = Observation("dictionary_stats")
-    terms = terms.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("n_blocks").alias("fan_in"),
-    )
-    cat.write(
-        terms.sortWithinPartitions("term"), "dictionary", partition_by=["fc"]
-    )
-    vals = obs.get
-    return int(vals["n_terms"] or 0), int(vals["fan_in"] or 0)
+        out = with_dense_ids(cached, ["term"], "term_id")
+        fan_in = None
+    out = out.withColumn("fc", term_fc_col(F.col("term")))
+    if fan_in is None:
+        from pyspark.sql import Observation
+
+        obs = Observation("dictionary_stats")
+        out = out.observe(obs, F.sum("n_blocks").alias("fan_in"))
+        cat.write(
+            out.sortWithinPartitions("term"), "dictionary",
+            partition_by=["fc"],
+        )
+        fan_in = int(obs.get["fan_in"] or 0)
+    else:
+        cat.write(
+            out.sortWithinPartitions("term"), "dictionary",
+            partition_by=["fc"],
+        )
+    cached.unpersist()
+    return int(n_terms), int(fan_in)
 
 class _conf:
     """Temporarily set a Spark conf (restores prior value)."""

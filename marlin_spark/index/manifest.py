@@ -56,5 +56,8 @@ class BuildManifest:
         total: dict = {}
         for rec in self.records():
             for k, v in rec.get("counters", {}).items():
-                total[k] = total.get(k, 0) + v
+                if isinstance(v, dict):  # sub-phase timing maps pass through
+                    total[k] = v
+                else:
+                    total[k] = total.get(k, 0) + v
         return total

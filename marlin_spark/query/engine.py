@@ -368,10 +368,16 @@ class SearchEngine:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        rows = [r.asDict() for r in d.filter(cond).select("term", "df").collect()]
+        # select top_maxes here too: caching (df, None) from this path
+        # would permanently disable theta-seed pruning for the term (the
+        # cache is checked first on later batched lookups)
+        sel = ["term", "df"]
+        if "top_maxes" in d.columns:
+            sel.append("top_maxes")
+        rows = [r.asDict() for r in d.filter(cond).select(*sel).collect()]
         found = {r["term"] for r in rows}
         for r in rows:
-            cache[r["term"]] = (r["df"], None)  # Spark path skips top_maxes
+            cache[r["term"]] = (r["df"], r.get("top_maxes"))
         for t in terms:
             if t not in found:
                 cache[t] = None  # negative cache: unseen term
@@ -1371,8 +1377,15 @@ class SearchEngine:
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", 9)), F.asc("docid")
         )
+        # explicit partition count for the rank exchange: left to AQE the
+        # ~10 MB of per-partition top-k rows coalesce into ONE task — a
+        # serial merge whose wall clock is identical at every cluster
+        # size, i.e. pure fixed cost against N->4N scaling. The window's
+        # required clustering (query_id) is satisfied, so no 2nd exchange.
+        n_rank = max(8, self.spark.sparkContext.defaultParallelism)
         ranked = (
-            local.withColumn("score", F.round("score", 9))
+            local.repartition(n_rank, "query_id")
+            .withColumn("score", F.round("score", 9))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "docid", "score", "rank")

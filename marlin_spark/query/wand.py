@@ -187,14 +187,6 @@ def _topk_trim(d: np.ndarray, s: np.ndarray, k: int):
     return (d if d.base is None else d.copy()), s
 
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Per-element popcount of a uint64 array (SWAR)."""
-    x = x - ((x >> 1) & 0x5555555555555555)
-    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
-    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
-    return (x * 0x0101010101010101) >> 56
-
-
 def make_batch_wand_scorer(
     query_metas: dict[str, dict[str, tuple[float, int]]],
     n_slots: dict[str, int],
@@ -426,25 +418,31 @@ def make_batch_wand_scorer(
                     if cand_d.size == 0:
                         continue
                     cand_s = np.zeros(cand_d.size)
-                    slot_mask = (
-                        np.zeros(cand_d.size, np.uint64) if want_slots else None
+                    # every entry of `present` carries a DISTINCT slot
+                    # (slots are enumerate() positions and the meta dict
+                    # is keyed by term), so distinct-slot coverage is
+                    # simply the count of hitting terms — exact for any
+                    # query length (a 64-bit mask aliased slots >= 64,
+                    # silently zeroing long conjunctive queries)
+                    slot_cnt = (
+                        np.zeros(cand_d.size, np.int32) if want_slots else None
                     )
                     only_ess = len(ess) == 1
                     for i, (t, idf, slot) in enumerate(present):
                         d_t, c_t = decoded[t]
                         if only_ess and i == ess[0]:
                             cand_s += idf * c_t  # aligned: cand_d IS d_t
-                            if slot_mask is not None:
-                                slot_mask |= np.uint64(1 << (slot & 63))
+                            if slot_cnt is not None:
+                                slot_cnt += 1
                             continue
                         p = np.searchsorted(d_t, cand_d)
                         p[p >= d_t.size] = d_t.size - 1
                         hit = d_t[p] == cand_d
                         cand_s[hit] += idf * c_t[p[hit]]
-                        if slot_mask is not None:
-                            slot_mask[hit] |= np.uint64(1 << (slot & 63))
+                        if slot_cnt is not None:
+                            slot_cnt[hit] += 1
                     if want_slots:
-                        okm = _popcount64(slot_mask) >= ns_arr[qc]
+                        okm = slot_cnt >= ns_arr[qc]
                         cand_d, cand_s = cand_d[okm], cand_s[okm]
                         if cand_d.size == 0:
                             continue

@@ -165,6 +165,31 @@ def test_search_many_wand_mode_all(engine, tiny_oracle):
         assert sorted(got.get(qid, [])) == sorted(want), qid
 
 
+def test_search_many_wand_mode_all_over_64_terms(spark, tmp_path):
+    """A conjunctive query with >64 distinct terms must still match: the
+    former uint64 slot bitmask aliased slots >= 64 (1 << (slot & 63)),
+    so coverage could never reach n_slots and long conjunctive queries
+    silently returned zero rows."""
+    from marlin_spark.config import EngineConfig
+    from marlin_spark.index.build import IndexBuilder
+    from marlin_spark.query.engine import SearchEngine
+
+    words = [f"w{i:03d}xq" for i in range(70)]
+    rows = [
+        ("c0", 0, "user", " ".join(words), None),
+        ("c0", 1, "assistant", " ".join(words[:40]), None),  # partial: no match
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    d = str(tmp_path / "idx70")
+    cfg = EngineConfig(block_size=16, range_size=64, n_term_buckets=8)
+    IndexBuilder(spark, d, cfg).build(df, build_id="t70")
+    eng = SearchEngine(spark, d, cfg)
+    out = eng.search_many_wand({"q": " ".join(words)}, k=5, mode="all").collect()
+    assert [r["docid"] for r in out] == [1], out
+
+
 def test_local_fast_path_rank_identical(engine, tiny_oracle):
     import time
 

@@ -49,6 +49,80 @@ def test_asof_join_matches_bruteforce(spark):
             assert got[eid] == (want[1], want[0]), (eid, got[eid], want)
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """A matched right row whose payload value is NULL must be returned
+    AS THAT ROW — rid and payload from the same right row (the ADVICE
+    row-tearing case for per-column last(ignorenulls) carries)."""
+    from marlin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100), (2, 300)], "lid long, t long")
+    left = left.withColumn("user", F.lit(0))
+    right = spark.createDataFrame(
+        [(10, 50, "old"), (11, 90, None), (12, 250, None)],
+        "rid long, t long, label string",
+    ).withColumn("user", F.lit(0))
+    out = asof_join(
+        left, right, key="user", ts="t", left_id="lid",
+        right_id="rid", right_payload=("label",),
+    )
+    got = {r["lid"]: (r["rid"], r["label"]) for r in out.collect()}
+    # lid=1 matches rid=11 (t=90): label must be rid 11's NULL, not rid
+    # 10's "old"; lid=2 matches rid=12 likewise
+    assert got == {1: (11, None), 2: (12, None)}, got
+
+
+def test_asof_join_string_right_id(spark):
+    """right_id keeps its native type — string ids must not be cast to
+    NULL (which would silently unmatch every right row)."""
+    from marlin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "lid long, t long").withColumn(
+        "user", F.lit(0)
+    )
+    right = spark.createDataFrame(
+        [("uuid-a", 40), ("uuid-b", 90)], "rid string, t long"
+    ).withColumn("user", F.lit(0))
+    out = asof_join(
+        left, right, key="user", ts="t", left_id="lid", right_id="rid"
+    )
+    rows = out.collect()
+    assert rows[0]["rid"] == "uuid-b", rows
+
+
+def test_asof_join_chunked_matches_unchunked(spark):
+    """time_chunk two-pass output is identical to the single-window plan,
+    including on a hot key holding ~all rows (the scale case: chunking
+    splits that key's window across (key, chunk) tasks — the physical
+    partitioning must include the chunk column)."""
+    from marlin_spark.operators.temporal import asof_join
+
+    rnd = random.Random(3)
+    # one hot key (user 0) with 400 rows spanning many chunks + 2 cold
+    rows = [
+        (i, 0 if i < 400 else rnd.randrange(1, 3),
+         "l" if rnd.random() < 0.5 else "r", rnd.randrange(0, 5000))
+        for i in range(440)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user long, side string, t long")
+    left = df.filter("side = 'l'")
+    right = (
+        df.filter("side = 'r'")
+        .withColumnRenamed("event_id", "rid")
+        .withColumn("rt", F.col("t"))
+    )
+    kw = dict(key="user", ts="t", left_id="event_id",
+              right_id="rid", right_payload=("rt",))
+    base = asof_join(left, right, **kw)
+    chunked = asof_join(left, right, time_chunk=250.0, **kw)
+    want = {tuple(r) for r in base.collect()}
+    got = {tuple(r) for r in chunked.collect()}
+    assert got == want
+    # the heavy pass-1 window hash-partitions on (key, chunk), not key
+    # alone: the hot key's rows spread over its ~20 chunks
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "_c" in plan.split("Window")[0] or "_c" in plan, plan
+
+
 def test_range_join_matches_bruteforce(spark):
     from marlin_spark.operators.temporal import range_join_bucketed
 
