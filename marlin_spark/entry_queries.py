@@ -752,8 +752,15 @@ def dd_connected_components(spark, sf_dir):
     cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     pairs = pr.join(ca, "a").join(cb, "b").filter(j >= 0.8).select("a", "b")
+    import tempfile
+
     return (
-        connected_components(pairs)
+        connected_components(
+            pairs,
+            # reliable (fault-tolerant) lineage cuts every K iterations;
+            # on a cluster this would be a DFS path
+            checkpoint_dir=tempfile.mkdtemp(prefix="marlin_cc_ckpt_"),
+        )
         .select(F.col("node").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
@@ -1464,9 +1471,7 @@ def ev_sessionization(spark, sf_dir):
 
 # ═══════════════════════════════════════════════════ temporal joins
 
-@register(
-    "ev_asof_join",
-    """WITH p AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+_ASOF_SQL = """WITH p AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
              FROM events WHERE event_type = 'purchase'),
 v AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
       FROM events WHERE event_type = 'view'),
@@ -1483,8 +1488,10 @@ c AS (SELECT user_id, t, tag, lid,
       FROM u)
 SELECT user_id, lid AS purchase_id, view_id, (t - view_t)::BIGINT AS lag_s
 FROM c WHERE tag = 1 AND view_id IS NOT NULL
-ORDER BY lag_s DESC, purchase_id LIMIT 20""",
-)
+ORDER BY lag_s DESC, purchase_id LIMIT 20"""
+
+
+@register("ev_asof_join", _ASOF_SQL)
 def ev_asof_join(spark, sf_dir):
     """AS-OF join (brief's custom-operator list): each purchase matched
     to the user's latest at-or-before view, via the union-tag + window
@@ -1503,6 +1510,41 @@ def ev_asof_join(spark, sf_dir):
     j = asof_join(
         p, v, key="user_id", ts="t", left_id="event_id",
         right_id="view_id", right_payload=("view_t",),
+    )
+    return (
+        j.filter(F.col("view_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "view_id",
+            (F.col("t") - F.col("view_t")).cast("long").alias("lag_s"),
+        )
+        .orderBy(F.desc("lag_s"), F.asc("purchase_id"))
+        .limit(20)
+    )
+
+
+@register("ev_asof_join_chunked", _ASOF_SQL)
+def ev_asof_join_chunked(spark, sf_dir):
+    """Skew-safe two-pass as-of join (round-4 verdict Missing #4): same
+    query and SAME oracle as ev_asof_join, but with time_chunk set so
+    the heavy window partitions on (user_id, week-of-time) — a Zipf-hot
+    user's events spread across its chunks instead of forming one
+    straggler task — and a tiny chunk-tail carry join restores the
+    cross-chunk matches. Identical output proves the decomposition."""
+    from marlin_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    v = e.filter(F.col("event_type") == "view").withColumnRenamed(
+        "event_id", "view_id"
+    ).withColumn("view_t", F.col("t"))
+    j = asof_join(
+        p, v, key="user_id", ts="t", left_id="event_id",
+        right_id="view_id", right_payload=("view_t",),
+        time_chunk=7 * 86400.0,
     )
     return (
         j.filter(F.col("view_id").isNotNull())

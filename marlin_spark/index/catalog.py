@@ -134,18 +134,29 @@ class IndexCatalog:
         self._snap_loaded = False
         return n
 
-    def expire_superseded(self) -> None:
-        """Remove data dirs no longer referenced by the current snapshot
-        (snapshot-expire analog; run post-commit, failures harmless).
-        Aggressive single-snapshot retention: in-flight readers of the
-        old files fail like they did under the previous rmtree swap —
-        production Iceberg would retain history instead."""
+    def expire_superseded(self, retain_last: int = 1) -> None:
+        """Remove data dirs no longer referenced by the ``retain_last``
+        most recent snapshots (snapshot-expire analog; run post-commit,
+        failures harmless). retain_last=1 is aggressive single-snapshot
+        retention — in-flight readers of older files fail, like the
+        pre-snapshot rmtree swap did; retain_last>=2 gives concurrent
+        readers holding snapshot N a full grace window while the writer
+        commits N+1 (Iceberg's expire_snapshots(retain_last) contract,
+        tested in test_iceberg_spec.py::test_concurrent_reader_survives_
+        commit_and_expire)."""
         import shutil as _sh
 
         snap = self.current_snapshot()
         if not snap:
             return
         live = set(snap["tables"].values())
+        n = snap["snapshot_id"]
+        for k in range(max(1, n - retain_last + 1), n):
+            try:
+                with open(self._meta(f"v{k}.metadata.json")) as f:
+                    live |= set(json.load(f)["tables"].values())
+            except (FileNotFoundError, ValueError):
+                pass
         for logical, mapped in snap["tables"].items():
             for cand in [logical] + [
                 d

@@ -119,6 +119,144 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channel count (8-bit only; palette/interlace rejected)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Pure-python PNG decode: stdlib zlib inflate + numpy unfilter
+    (None/Sub/Up/Average/Paeth), 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced. Returns HxW (gray) or HxWxC uint8. Palette images
+    and 16-bit depths raise — this is the training-pipeline decode path
+    for the dominant web formats, not a general imaging library."""
+    import struct
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth {depth}, colortype {ctype}, "
+            "interlace {interlace}); 8-bit gray/GA/RGB/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * ch
+    if raw.size != stride * h:
+        raise ValueError("PNG raster size mismatch")
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(w * ch, np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: prefix-sum per channel (mod distributes over +)
+            cur = line.reshape(w, ch).cumsum(axis=0).reshape(-1)
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average: left-dependency -> per-pixel scan
+            cur = np.zeros(w * ch, np.int64)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = line[i] + ((a + prev[i]) >> 1)
+                cur[i] &= 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(w * ch, np.int64)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                cur[i] = line[i] + _paeth(int(a), int(prev[i]), int(c))
+                cur[i] &= 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = (cur & 0xFF).astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0].copy() if ch == 1 else img.copy()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """PNG encode (test-fixture twin of _decode_png): 8-bit gray / GA /
+    RGB / RGBA, one filter type applied to every row so tests can
+    exercise each unfilter path (0 none, 1 sub, 2 up, 3 average,
+    4 paeth)."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int64)
+        if filter_type == 0:
+            fl = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            fl = cur - left
+        elif filter_type == 2:
+            fl = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            fl = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            fl = np.zeros(w * ch, np.int64)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                fl[i] = cur[i] - _paeth(int(a), int(prev[i]), int(c))
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + ((fl & 0xFF).astype(np.uint8)).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize (pure numpy index maps — the vectorized
     shape every per-image transform here follows)."""
@@ -131,21 +269,24 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
-    REAL pure-python codecs: P6/P5 netpbm (_decode_ppm) and 24-bit
-    BI_RGB BMP (_decode_bmp) — no external libraries, proven end-to-end
-    in tests/test_multimodal_codec.py. Compressed formats (JPEG/PNG)
-    need libjpeg/zlib-png bindings absent from this container and still
-    raise; fake=True falls back to a deterministic pseudo-image (8x8x3
-    derived from the payload digest) so Spark plumbing stays testable
-    with arbitrary payload bytes."""
+    REAL pure-python codecs: P6/P5 netpbm (_decode_ppm), 24-bit BI_RGB
+    BMP (_decode_bmp), and 8-bit non-interlaced PNG (_decode_png: stdlib
+    zlib inflate + numpy unfilter, all five filter types) — no external
+    libraries, proven end-to-end in tests/test_multimodal_codec.py.
+    JPEG needs a DCT codec absent from this container and still raises;
+    fake=True falls back to a deterministic pseudo-image (8x8x3 derived
+    from the payload digest) so Spark plumbing stays testable with
+    arbitrary payload bytes."""
     head = (payload or b"")[:2]
     if head in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if head == b"BM":
         return _decode_bmp(payload)
+    if (payload or b"")[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "payload is not PPM/PGM/BMP; compressed-image codecs are not "
+            "payload is not PPM/PGM/BMP/PNG; JPEG codecs are not "
             "available in this environment (pass fake=True for the "
             "deterministic test decode)"
         )

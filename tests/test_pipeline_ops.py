@@ -246,3 +246,36 @@ def test_connected_components_vs_greedy(spark):
     # non-convergence raises loudly instead of returning a partial closure
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=1)
+
+
+def test_connected_components_chain_reliable_checkpoint(spark, tmp_path):
+    """A 12-node chain needs ~11 propagation rounds — crossing the
+    every-5-iterations lineage-cut boundary twice — with a RELIABLE
+    checkpoint dir configured (the fault-tolerant 100-TB contract;
+    localCheckpoint dies with its executor). Also pins the one-job-per-
+    iteration convergence signal: the Observation-carried change count
+    converges to the same closure the old join+count detected."""
+    from marlin_spark.operators.dedup import connected_components
+
+    n = 12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            chain,
+            max_iter=n + 2,
+            checkpoint_every=5,
+            checkpoint_dir=str(tmp_path / "cc_ckpt"),
+        ).collect()
+    }
+    assert comp == {i: 1 for i in range(1, n + 1)}
+    # the reliable checkpoints actually materialized on disk
+    import os
+    found = [
+        fn
+        for root, _, files in os.walk(str(tmp_path / "cc_ckpt"))
+        for fn in files
+    ]
+    assert found, "no reliable checkpoint files written"

@@ -103,3 +103,77 @@ def test_stream_matches_batch_for_closed_sessions(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_event_time_sessions_deterministic_replay(spark, tmp_path):
+    """Event-time variant (watermark + EventTimeTimeout): the same
+    disordered input, split into micro-batches three different ways,
+    yields the SAME closed sessions — and they equal the batch twin.
+    Idle sessions are evicted by watermark advance (the sentinel user's
+    far-future event), not by the wall clock."""
+    from marlin_spark.streaming.sessions import sessionize_stream_event_time
+
+    gap, wm_delay = 60, 50
+    # disordered timeline (out-of-order deliveries marked <); disorder
+    # stays under wm_delay at every split point, so no event is dropped
+    # as late regardless of where the batching cuts
+    rows = [
+        (1, 100), (2, 100), (1, 130), (1, 115),  # < user1 s(100,130,3)
+        (2, 150), (2, 140),                      # < user2 s(100,150,3)
+        (1, 300), (1, 290),                      # < user1 s(290,300,2)
+        (2, 400),                                # user2 s(400,400,1)
+        (3, 500),                                # user3 s(500,500,1)
+    ]
+    sentinel = [(99, 10_000)]  # advances the global watermark past all
+
+    def run(batches, name):
+        src = tmp_path / f"src_{name}"
+        os.makedirs(src, exist_ok=True)
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_stream_event_time(
+                stream, gap_s=gap, watermark=f"{wm_delay} seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(f"evt_sessions_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for i, batch in enumerate(batches):
+                bdir = src / f"b{i}"
+                spark.createDataFrame(batch, "user_id long, t long").select(
+                    "user_id", F.timestamp_seconds("t").alias("ts")
+                ).coalesce(1).write.parquet(str(bdir), mode="overwrite")
+                for f in os.listdir(str(bdir)):
+                    if f.endswith(".parquet"):
+                        os.rename(str(bdir / f), str(src / f"batch_{i}.parquet"))
+                q.processAllAvailable()
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql(f"SELECT * FROM evt_sessions_{name}").collect()
+        }
+
+    all_rows = rows + sentinel
+    splits = {
+        "one": [all_rows],
+        "three": [rows[:4], rows[4:8], rows[8:] + sentinel],
+        "five": [rows[:2], rows[2:5], rows[5:6], rows[6:], sentinel],
+    }
+    got = {name: run(b, name) for name, b in splits.items()}
+    # every batching closes the same sessions...
+    assert got["one"] == got["three"] == got["five"], got
+    # ...and they are exactly the batch twin's sessions for users whose
+    # close horizon the final watermark passed (everyone but sentinel)
+    expected = {
+        t for t in _batch_sessions(spark, all_rows, gap) if t[0] != 99
+    }
+    assert got["one"] == expected, (got["one"], expected)
