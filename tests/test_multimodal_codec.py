@@ -74,10 +74,12 @@ def test_unsupported_variants_raise():
     struct.pack_into("<H", buf, 28, 8)  # 8 bpp
     with pytest.raises(ValueError, match="unsupported BMP"):
         _decode_bmp(bytes(buf))
+    with pytest.raises(ValueError):  # PNG is REAL now; malformed raises
+        decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")  # png stays stubbed
+        decode_image(b"\xff\xd8\xff\xe0jfif...")  # jpeg stays stubbed
     # fake fallback still works for undecodable bytes
-    assert decode_image(b"\x89PNG", fake=True).shape == (8, 8, 3)
+    assert decode_image(b"\xff\xd8", fake=True).shape == (8, 8, 3)
 
 
 def test_resize_nearest():
