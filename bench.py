@@ -57,6 +57,7 @@ HEADLINE = [
     "tx_fingerprint",
     "ev_hourly_counts",
     "ev_asof_join",
+    "ev_asof_join_chunked",
     "ev_range_join",
     "dd_connected_components",
     "tpch_q1",

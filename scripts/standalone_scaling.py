@@ -275,7 +275,7 @@ def main() -> None:
         p = os.path.join(shm, d)
         if (
             d.startswith(("marlin_", "aux", "ab_alloc_", "spark_local"))
-            and d != f"marlin_scaling_corpus_{args.turns}"
+            and not d.startswith("marlin_scaling_corpus_")
         ):
             shutil.rmtree(p, ignore_errors=True)
     corpus = os.path.join(shm, f"marlin_scaling_corpus_{args.turns}")
@@ -297,8 +297,9 @@ def main() -> None:
     # #1; reproduced here: same code, postings 25s in a 175k window vs
     # 133-184s in a 128k window)
     best_ctl = float(os.environ.get("MARLIN_BEST_CTL", "175668"))
+    calm_frac = float(os.environ.get("MARLIN_CALM_FRAC", "0.85"))
     calm_per_core = max(
-        float(os.environ.get("MARLIN_CALM_OPS", "95000")), 0.85 * best_ctl
+        float(os.environ.get("MARLIN_CALM_OPS", "95000")), calm_frac * best_ctl
     )
     os.makedirs("BENCH", exist_ok=True)
 
