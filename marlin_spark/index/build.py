@@ -318,6 +318,13 @@ class IndexBuilder:
             blocks.write.mode("overwrite").partitionBy("bucket").parquet(
                 self.cat.path(f"postings/rgroup={gid}")
             )
+            if not self.cat.has_part_files(f"postings/rgroup={gid}"):
+                # zero postings in this group (empty corpus / clear):
+                # leave a schema-only footer so the table stays readable
+                # (limit(0) constant-folds — no re-execution of the UDFs)
+                blocks.limit(0).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(self.cat.path(f"postings/rgroup={gid}"))
         mf.mark_done(
             unit,
             {

@@ -198,6 +198,21 @@ class IndexCatalog:
         for k, v in (options or {}).items():
             w = w.option(k, v)
         w.parquet(self.path(name))
+        if partition_by and not self.has_part_files(name):
+            # A partitioned write of ZERO rows leaves only _SUCCESS — a
+            # directory Spark cannot re-read (UNABLE_TO_INFER_SCHEMA).
+            # Keep empty tables readable (empty corpus build / clear):
+            # one schema-only footer file, partition columns kept as
+            # ordinary columns so the read-back schema is unchanged.
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(
+                self.path(name)
+            )
+
+    def has_part_files(self, name: str) -> bool:
+        for root, _dirs, files in os.walk(self.path(name)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))

@@ -270,10 +270,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array.
 
     REAL pure-python codecs: P6/P5 netpbm (_decode_ppm), 24-bit BI_RGB
-    BMP (_decode_bmp), and 8-bit non-interlaced PNG (_decode_png: stdlib
-    zlib inflate + numpy unfilter, all five filter types) — no external
+    BMP (_decode_bmp), 8-bit non-interlaced PNG (_decode_png: stdlib
+    zlib inflate + numpy unfilter, all five filter types), and baseline
+    sequential JPEG (multimodal/jpeg.py: huffman entropy decode + numpy
+    einsum IDCT, gray/4:4:4/4:2:2/4:2:0, restart markers) — no external
     libraries, proven end-to-end in tests/test_multimodal_codec.py.
-    JPEG needs a DCT codec absent from this container and still raises;
     fake=True falls back to a deterministic pseudo-image (8x8x3 derived
     from the payload digest) so Spark plumbing stays testable with
     arbitrary payload bytes."""
@@ -284,11 +285,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_bmp(payload)
     if (payload or b"")[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if head == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "payload is not PPM/PGM/BMP/PNG; JPEG codecs are not "
-            "available in this environment (pass fake=True for the "
-            "deterministic test decode)"
+            "payload is not PPM/PGM/BMP/PNG/JPEG (pass fake=True for "
+            "the deterministic test decode)"
         )
     digest = hashlib.sha256(payload or b"").digest()
     arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
