@@ -309,7 +309,6 @@ def make_batch_wand_scorer(
 
         state_d: list = [None] * nq  # per-query running top-k
         state_s: list = [None] * nq
-        counts = np.zeros(nq, np.int64)
         theta = np.full(nq, -np.inf)
 
         for ri in order:
@@ -457,7 +456,6 @@ def make_batch_wand_scorer(
                     cand_s = np.concatenate([ss, cand_s])
                 cand_d, cand_s = _topk_trim(cand_d, cand_s, k)
                 state_d[qc], state_s[qc] = cand_d, cand_s
-                counts[qc] = cand_d.size
                 if cand_d.size >= k:
                     theta[qc] = cand_s.min()
         out_q, out_d, out_s = [], [], []

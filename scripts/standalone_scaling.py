@@ -391,11 +391,22 @@ def main() -> None:
             log(f"round {rnd}: machine degraded — waiting {wait}s")
             time.sleep(wait)
             continue
-        res_lo = measure(w_lo)
+        # a failed LEG (child died: transient executor loss, bad deploy
+        # edit mid-run, ...) must cost one round, not the whole
+        # until-pass loop — log and move on to the next round
+        try:
+            res_lo = measure(w_lo)
+        except Exception as exc:  # noqa: BLE001
+            log(f"round {rnd}: low level failed ({exc!r}) — skipping round")
+            continue
         ctl_hi = bench._compute_control(n_hi, seconds=3)
         bw_hi = bench._bandwidth_control(n_hi, seconds=3)
         thp_mid = max(bench._page_touch_control(), bench._page_touch_control())
-        res_hi = measure(w_hi)
+        try:
+            res_hi = measure(w_hi)
+        except Exception as exc:  # noqa: BLE001
+            log(f"round {rnd}: high level failed ({exc!r}) — skipping round")
+            continue
         ctl_post = bench._compute_control(n_lo, seconds=3)
         bw_post = bench._bandwidth_control(n_lo, seconds=3)
         thp_post = max(bench._page_touch_control(), bench._page_touch_control())
