@@ -50,6 +50,7 @@ HEADLINE = [
     "dd_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",  # new r5: IVF coarse-quantizer ANN
     "emb_near_dup",
     "tx_langid",
     "tx_quality",

@@ -1040,6 +1040,89 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+_IVF_C, _IVF_NPROBE = 8, 2
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+            FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_C}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT e.vec_id, e.embedding, c.cid,
+        round({_DOT_SQL.format(a='e.embedding', b='c.ce')}
+              / {_NORM_SQL.format(a='c.ce')}, 6) AS s
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+assign AS (SELECT vec_id, embedding, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored),
+probes AS (SELECT c.cid FROM cents c CROSS JOIN q
+        ORDER BY round({_DOT_SQL.format(a='c.ce', b='q.qe')}
+                       / {_NORM_SQL.format(a='c.ce')}, 6) DESC, c.cid
+        LIMIT {_IVF_NPROBE}),
+sc AS (SELECT a.vec_id,
+        {_DOT_SQL.format(a='a.embedding', b='q.qe')}
+        / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='q.qe')}) AS cos
+        FROM assign a CROSS JOIN q
+        WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes))
+SELECT vec_id, round(cos, 6) AS cos FROM sc
+ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (the scale path beyond LSH): every vector is
+    assigned to its nearest coarse centroid (argmax of round(dot/|c|, 6),
+    ties to the lowest centroid id), the query probes only the nprobe
+    nearest centroids' buckets, and exact cosine runs inside those
+    buckets alone. Here the coarse quantizer is data-derived (vectors
+    1..C serve as centroids so the DuckDB oracle can reproduce the exact
+    assignment); in production the centroids come from k-means training
+    and the cluster id is precomputed + partitionBy'd, so a query is a
+    partition-pruned scan of ~nprobe/C of the corpus instead of a full
+    scan — same plumbing as ann_lsh_bucketed, but with a trainable,
+    data-adaptive quantizer. Assignment is pure whole-stage-codegen
+    column math (array_max over (score, -cid) structs); no Python, no
+    shuffle beyond TakeOrderedAndProject."""
+    e = _emb(spark, sf_dir)
+    q = _qvec_lit(spark, sf_dir, 0)
+    cent_lits = [
+        (i, _qvec_lit(spark, sf_dir, i)) for i in range(1, _IVF_C + 1)
+    ]
+    # probe selection: same score expression evaluated over the centroid
+    # rows (tiny bounded job — the centroid table is C rows at any scale)
+    probe_rows = (
+        e.filter(F.col("vec_id").between(1, _IVF_C))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.round(
+                _dot_col(F.col("embedding"), q) / _norm_col(F.col("embedding")), 6
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(_IVF_NPROBE)
+        .collect()
+    )
+    probe_cids = [int(r["cid"]) for r in probe_rows]
+    structs = [
+        F.struct(
+            F.round(
+                _dot_col(F.col("embedding"), clit) / _norm_col(clit), 6
+            ).alias("s"),
+            F.lit(-i).alias("nc"),
+        )
+        for i, clit in cent_lits
+    ]
+    cluster = -F.array_max(F.array(*structs))["nc"]
+    cos = _dot_col(F.col("embedding"), q) / (
+        _norm_col(F.col("embedding")) * _norm_col(q)
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("_cl", cluster)
+        .filter(F.col("_cl").isin(probe_cids))
+        .select("vec_id", F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "emb_near_dup",
     f"""WITH sc AS (
