@@ -29,7 +29,9 @@ def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Vectorized varbyte encode; also returns per-value byte counts so a
     caller encoding many logical records in one call can split the buffer
     (the multi-block emitter's fast path)."""
-    v = np.asarray(values, dtype=np.uint64)
+    v = np.asarray(values)
+    if v.dtype != np.uint32:  # callers pass uint32 (stays) or uint64
+        v = v.astype(np.uint64, copy=False)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
     vmax = int(v.max())
@@ -38,7 +40,7 @@ def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     # hottest build phase — uint32 halves its memory traffic (output
     # bytes identical; >=2^32 inputs keep the uint64 path)
     if vmax < (1 << 32):
-        v = v.astype(np.uint32)
+        v = v.astype(np.uint32, copy=False)
     mask7f = v.dtype.type(0x7F)
     seven = v.dtype.type(7)
     nb = np.ones(v.shape, dtype=np.int32)

@@ -99,20 +99,30 @@ def emit_blocks_vec(
     b_max = np.maximum.reduceat(score, b_start)
     b_sumtf = np.add.reduceat(tf64, b_start)
     # --- postings payload: per block [n, deltas(n), tfs(n), dls(n)] ---
-    du = u_d.astype(np.uint64)
-    deltas = np.empty(nd, dtype=np.uint64)
+    # width-adaptive: when every stored value fits 32 bits (always at
+    # bench scale; docids < 2^32) the whole scatter-assemble-encode
+    # sequence runs on uint32 — half the memory traffic of the uint64
+    # layout on the build's hottest phase (vb output is identical; the
+    # encoder is value-driven)
+    vdt = (
+        np.uint32
+        if int(u_d.max()) < (1 << 32) and int(u_dl.max()) < (1 << 32)
+        else np.uint64
+    )
+    du = u_d.astype(vdt)
+    deltas = np.empty(nd, dtype=vdt)
     deltas[1:] = du[1:] - du[:-1]  # cross-block wraps are overwritten below
     deltas[b_start] = du[b_start]
     seg_len = 1 + 3 * b_ndocs
     seg_start = np.concatenate(([0], np.cumsum(seg_len)))[:-1]
-    vals = np.empty(int(nb + 3 * nd), dtype=np.uint64)
-    vals[seg_start] = b_ndocs.astype(np.uint64)
+    vals = np.empty(int(nb + 3 * nd), dtype=vdt)
+    vals[seg_start] = b_ndocs.astype(vdt)
     bn_bod = b_ndocs[bod]
     base = seg_start[bod] + 1 + (ar - b_start[bod])
     vals[base] = deltas
     base += bn_bod
-    vals[base] = tf64.astype(np.uint64)
-    vals[base + bn_bod] = u_dl.astype(np.uint64)
+    vals[base] = tf64.astype(vdt)
+    vals[base + bn_bod] = u_dl.astype(vdt)
     buf, sizes = vb_encode_with_sizes(vals)
     cum = np.concatenate(([0], np.cumsum(sizes)))
     blo = cum[seg_start]
@@ -121,12 +131,15 @@ def emit_blocks_vec(
     # --- positions payload: per doc, first absolute then gaps ---
     npos = pos.shape[0]
     if npos:
-        pos64 = pos.astype(np.int64)
+        pos64 = np.asarray(pos, dtype=np.int64)
         p_doc_start = np.concatenate(([0], np.cumsum(tf64)))[:-1]
-        pdelta = np.empty(npos, dtype=np.int64)
-        pdelta[1:] = pos64[1:] - pos64[:-1]
-        pdelta[p_doc_start] = pos64[p_doc_start]
-        pbuf, psizes = vb_encode_with_sizes(pdelta.astype(np.uint64))
+        # position payloads are (field<<16)|pos packed ints < 2^32: keep
+        # the delta stream 32-bit end to end (same encoded bytes)
+        pdt = np.uint32 if int(pos64.max()) < (1 << 32) else np.uint64
+        pdelta = np.empty(npos, dtype=pdt)
+        pdelta[1:] = (pos64[1:] - pos64[:-1]).astype(pdt)
+        pdelta[p_doc_start] = pos64[p_doc_start].astype(pdt)
+        pbuf, psizes = vb_encode_with_sizes(pdelta)
         pcum = np.concatenate(([0], np.cumsum(psizes)))
         p_bounds = np.concatenate((p_doc_start, [npos]))
         plo = pcum[p_bounds[b_start]]
@@ -339,9 +352,11 @@ def make_doc_range_builder(
     range_size: int,
     counters: dict | None = None,
     fields: list[str] | None = None,
+    _force_generic: bool = False,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """ZERO-SHUFFLE postings builder: mapInPandas directly over the docs/
-    scan (docid, dl, text) — the main build path.
+    scan (docid, dl, text) — the main build path. ``_force_generic``
+    disables the bandwidth-lean sort fast path (equivalence tests only).
 
     Every posting group keys on (term, range_id = docid // range_size),
     and a scan split holds a contiguous slab of docids, so each split can
@@ -410,37 +425,130 @@ def make_doc_range_builder(
             t = _lap("ms_flatten", t)
         if not f_doc:
             return
-        rep_doc = np.concatenate(f_doc)
-        flat_terms = np.concatenate(f_terms)
-        flat_pos = np.concatenate(f_pos)
+        rep_doc = np.concatenate(f_doc) if len(f_doc) > 1 else f_doc[0]
+        flat_terms = np.concatenate(f_terms) if len(f_terms) > 1 else f_terms[0]
+        flat_pos = np.concatenate(f_pos) if len(f_pos) > 1 else f_pos[0]
         # integer term codes first: sort over ints, not strings
         codes, uniq = pd.factorize(flat_terms)
-        rng = rep_doc // range_size
-        # composite single-key argsort for (rng, code, docid, pos): one
-        # radix-ish pass instead of lexsort's four stable passes. A scan
-        # split holds a narrow docid slab, so the rebased product fits
-        # 63 bits at any corpus scale; fall back to lexsort if not.
-        d_rel = rep_doc - rep_doc.min()
-        r_rel = rng - rng.min()
-        kk = int(uniq.size)
-        dd_span = int(d_rel.max()) + 1
-        pp_span = int(flat_pos.max()) + 1
-        rr_span = int(r_rel.max()) + 1
-        if rr_span * kk * dd_span * pp_span < (1 << 63):
-            # int64 arithmetic throughout (bound-checked above, no overflow)
-            key = ((r_rel * kk + codes.astype(np.int64)) * dd_span + d_rel) * pp_span + flat_pos
-            # kind="stable" = LSD radix sort for int keys in numpy: O(n)
-            # passes instead of comparison introsort on 10^7-row arrays
-            order = np.argsort(key, kind="stable")
+        # --- bandwidth-lean fast path -------------------------------------
+        # The token stream arrives DOC-MAJOR with positions in token order,
+        # so when the partition's docids are monotone (docs files are
+        # docid-range-sorted; holds for every in-order scan) a STABLE sort
+        # by the int32 term code ALONE already yields (code, doc, pos)
+        # order — and range_id is monotone in docid, so (code, range)
+        # groups come out contiguous with docids increasing, exactly what
+        # the emitter needs. vs the composite-int64-key sort below this is
+        # a 4-byte radix instead of an 8-byte one on 10^7-row arrays, skips
+        # the ~5 full int64 passes that BUILT the key, and replaces four
+        # 8-byte random gathers with one int32 + one packed-int64 gather —
+        # the phases whose CPU time inflates 6-8x when all cores contend
+        # for DRAM (the measured N->4N scaling killer on bandwidth-capped
+        # hosts, BENCH/standalone_rounds_2_8_10M.json round 9 phase-cpu).
+        mono = not _force_generic and len(fields) == 1 and (
+            docids.size == 1
+            or bool((docids[1:] >= docids[:-1]).all())
+        )
+        pmax = int(flat_pos.max())
+        shift = max(20, pmax.bit_length())
+        r_lo = int(rep_doc[0]) // range_size if mono else 0
+        r_hi = int(rep_doc[-1]) // range_size if mono else 0
+        if (
+            mono
+            and (int(rep_doc[-1]) >> (62 - shift)) == 0
+            and r_hi - r_lo < rep_doc.shape[0]  # dense docids (always)
+        ):
+            # RANGE-SLAB pipeline: rep_doc is monotone, so slicing at
+            # range_size boundaries gives one exact range_id per slab —
+            # no new partial blocks (a range never spans slabs), but the
+            # per-slab sort + the two random gathers + the ~20-pass
+            # emitter all run on a slab-sized working set that fits L3
+            # instead of streaming the full split through DRAM. With all
+            # cores busy this is the difference between compute-bound and
+            # bandwidth-stalled (the measured 6-8x phase-CPU inflation at
+            # 4 workers, BENCH/standalone_rounds_2_8_10M.json round 9).
+            codes32 = codes.astype(np.int32, copy=False)
+            flat_pos64 = flat_pos.astype(np.int64, copy=False)
+            edges = np.searchsorted(
+                rep_doc,
+                np.arange(r_lo + 1, r_hi + 1, dtype=np.int64) * range_size,
+            )
+            bounds = np.concatenate(([0], edges, [rep_doc.shape[0]]))
+            uniq_np = uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq)
+            mask = (1 << shift) - 1
+            frames = []
+            w_sort = c_sort = w_emit = c_emit = 0.0
+            for a, bnd in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                if bnd == a:
+                    continue
+                w0, c0 = _time.time(), _time.process_time()
+                order = np.argsort(codes32[a:bnd], kind="stable")
+                w1, c1 = _time.time(), _time.process_time()
+                w_sort += w1 - w0
+                c_sort += c1 - c0
+                c_sl = codes32[a:bnd][order]
+                comb = ((rep_doc[a:bnd] << shift) | flat_pos64[a:bnd])[order]
+                d = comb >> shift
+                p = comb & mask
+                del comb
+                new_doc = np.empty(d.shape[0], dtype=bool)
+                new_doc[0] = True
+                new_doc[1:] = (c_sl[1:] != c_sl[:-1]) | (d[1:] != d[:-1])
+                doc_idx = np.flatnonzero(new_doc)
+                tf = np.diff(np.append(doc_idx, d.shape[0]))
+                u_d = d[doc_idx]
+                # docids are monotone here: direct searchsorted, no argsort
+                u_dl = dls[np.searchsorted(docids, u_d)]
+                rid = int(u_d[0]) // range_size
+                res = emit_blocks_vec(
+                    uniq_np,
+                    c_sl[doc_idx],
+                    np.full(u_d.shape[0], rid, dtype=np.int64),
+                    u_d, tf, u_dl, p,
+                    k1, b, avgdl, block_size, acc,
+                )
+                if res is not None:
+                    frames.append(res)
+                w2, c2 = _time.time(), _time.process_time()
+                w_emit += w2 - w1
+                c_emit += c2 - c1
+            for key, val in (("ms_sort", w_sort), ("cpu_sort", c_sort),
+                             ("ms_emit", w_emit), ("cpu_emit", c_emit)):
+                if key in acc:
+                    acc[key].add(int(val * 1000))
+            if frames:
+                out = (
+                    pd.concat(frames, ignore_index=True)
+                    if len(frames) > 1 else frames[0]
+                )
+                yield out[_OUT_COLS]
+            return
         else:
-            order = np.lexsort((flat_pos, rep_doc, codes, rng))
-        t = _lap("ms_sort", t)
-        c = codes[order]
-        r = rng[order]
-        d = rep_doc[order]
-        p = flat_pos[order]
-        doc_idx, tf = collapse_positions_to_docs(c, r, d, None)
-        u_d = d[doc_idx]
+            rng = rep_doc // range_size
+            # composite single-key argsort for (rng, code, docid, pos): one
+            # radix-ish pass instead of lexsort's four stable passes. A scan
+            # split holds a narrow docid slab, so the rebased product fits
+            # 63 bits at any corpus scale; fall back to lexsort if not.
+            d_rel = rep_doc - rep_doc.min()
+            r_rel = rng - rng.min()
+            kk = int(uniq.size)
+            dd_span = int(d_rel.max()) + 1
+            pp_span = pmax + 1
+            rr_span = int(r_rel.max()) + 1
+            if rr_span * kk * dd_span * pp_span < (1 << 63):
+                # int64 arithmetic throughout (bound-checked, no overflow)
+                key = ((r_rel * kk + codes.astype(np.int64)) * dd_span + d_rel) * pp_span + flat_pos
+                # kind="stable" = LSD radix sort for int keys in numpy: O(n)
+                # passes instead of comparison introsort on 10^7-row arrays
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((flat_pos, rep_doc, codes, rng))
+            t = _lap("ms_sort", t)
+            c = codes[order]
+            r = rng[order]
+            d = rep_doc[order]
+            p = flat_pos[order]
+            doc_idx, tf = collapse_positions_to_docs(c, r, d, None)
+            u_d = d[doc_idx]
         # dl at DOC level via a 1e5-element searchsorted lookup — never
         # replicated to the 10^7-row position stream (its repeat + sort
         # gather was measurable memory traffic for a pure redundancy)
@@ -482,8 +590,14 @@ def make_block_merger(
         import time as _time
 
         _t0 = _time.time()
-        _c0 = _time.process_time()
         parts = [pdf for pdf in batches if not pdf.empty]
+        if "ms_merge_wait" in acc:
+            # pulling the input iterator = shuffle fetch + Arrow transfer:
+            # report it apart from merge COMPUTE so a slow-exchange round
+            # is distinguishable from a slow-kernel one
+            acc["ms_merge_wait"].add(int((_time.time() - _t0) * 1000))
+        _t0 = _time.time()
+        _c0 = _time.process_time()
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]

@@ -256,7 +256,7 @@ class IndexBuilder:
         timing = {
             k: sc.accumulator(0)
             for k in ("ms_read", "ms_tokenize", "ms_flatten", "ms_sort",
-                      "ms_emit", "ms_merge",
+                      "ms_emit", "ms_merge", "ms_merge_wait",
                       "cpu_read", "cpu_tokenize", "cpu_flatten", "cpu_sort",
                       "cpu_emit", "cpu_merge")
         }
@@ -277,6 +277,8 @@ class IndexBuilder:
             {
                 **{k: acc[k] for k in ("blocks_built", "bytes_postings", "bytes_positions")},
                 "ms_merge": timing["ms_merge"],
+                "ms_merge_wait": timing["ms_merge_wait"],
+                "cpu_merge": timing["cpu_merge"],
             },
         )
         # parallelism of the zero-shuffle stage = scan splits; docs/ is
