@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py is frozen; extra evidence only).
+
+Modes:
+  --plans [names...]   write .explain("formatted") for headline queries to
+                       plans/r06/<name>_<tag>.txt
+  --time  [names...]   time each query with the SAME methodology as
+                       bench.py's run_headline (warm session, .count()),
+                       N repeats, print per-query seconds (min/median)
+  --jobs  [names...]   count Spark jobs each query triggers (definition
+                       + action), via the status tracker
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def get_session():
+    from marlin_spark.session import get_spark
+
+    return get_spark(
+        "marlin-bench-extra", master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+
+
+def warm(spark):
+    from marlin_spark.operators.bm25_df import bm25_topk
+
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bm25_topk(docs, "warm session throwaway", k=5).count()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plans", action="store_true")
+    ap.add_argument("--time", action="store_true")
+    ap.add_argument("--jobs", action="store_true")
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    names = args.names or HEADLINE
+
+    from marlin_spark.entry_queries import QUERIES
+
+    spark = get_session()
+    warm(spark)
+    sc = spark.sparkContext
+
+    if args.plans:
+        os.makedirs("plans/r06", exist_ok=True)
+        for name in names:
+            df = QUERIES[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(f"plans/r06/{name}_{args.tag}.txt", "w") as f:
+                f.write(plan)
+            nex = plan.count("Exchange")
+            print(f"{name}: {nex} Exchange, {plan.count('BatchEvalPython')} "
+                  f"BatchEvalPython -> plans/r06/{name}_{args.tag}.txt")
+
+    if args.jobs:
+        st = sc.statusTracker()
+        for name in names:
+            pre = len(st.getJobIdsForGroup() or [])
+            sc.setJobGroup(f"jobs_{name}", name)
+            n = QUERIES[name](spark, SF_DIR).count()
+            jobs = len(st.getJobIdsForGroup(f"jobs_{name}") or [])
+            sc.setJobGroup(None, None)
+            print(f"{name}: {jobs} jobs ({n} rows)")
+
+    if args.time:
+        out = {}
+        for name in names:
+            sc.setJobDescription(f"time:{name}")
+            samples = []
+            for _ in range(args.repeats):
+                t0 = time.time()
+                QUERIES[name](spark, SF_DIR).count()
+                samples.append(round(time.time() - t0, 3))
+            out[name] = samples
+            print(f"{name}: min={min(samples):.3f} samples={samples}",
+                  flush=True)
+        tot_min = sum(min(s) for s in out.values())
+        tot_med = sum(sorted(s)[len(s) // 2] for s in out.values())
+        print(json.dumps({"tag": args.tag, "total_min": round(tot_min, 3),
+                          "total_median": round(tot_med, 3), "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
