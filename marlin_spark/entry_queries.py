@@ -327,11 +327,14 @@ def ft_filtered_bm25(spark, sf_dir):
     """BM25 + filter: index-wide stats, filter ANDed onto the match set
     (marlin squery.c:377-395 semantics)."""
     d = _docs(spark, sf_dir)
-    scored = bm25_scores(d, "data table")
-    filt = d.filter((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+    # the filter columns are functionally dependent on doc_id, so the
+    # old left_semi join against the filtered id set is exactly a
+    # predicate on the scored row itself — carry (lang, n_chars) through
+    # the (narrow) scoring scan and filter in place: no join, no exchange
+    scored = bm25_scores(d, "data table", extra_cols=("lang", "n_chars"))
     return (
-        scored.join(filt.select("doc_id"), "doc_id", "left_semi")
-        .withColumn("score", F.round("score", 6))
+        scored.filter((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+        .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
@@ -970,6 +973,47 @@ def _qvec_lit(spark, sf_dir, vec_id=0):
     return F.array(*[F.lit(float(v)) for v in row["embedding"]])
 
 
+# ---- round-6 ANN fast path helpers ---------------------------------------
+# Two planner-side fixes, both value-identical:
+# - _vecs_rows batches the per-vector _qvec_lit collects (one job instead
+#   of one per query/centroid/plane vector);
+# - _norm_py computes the norm of a LITERAL vector once in Python instead
+#   of re-folding the literal array per row: double *, + and sqrt are
+#   exact-rounded IEEE ops applied to the same values in the same order,
+#   so the result is bit-identical to the JVM fold.
+# (An expanded getItem-chain dot product was tried and REVERTED: 64-deep
+# Add trees cost more in Catalyst planning/codegen than the interpreted
+# fold saves — see OPTIMIZATION_r06.md.)
+
+def _vecs_rows(spark, sf_dir, ids):
+    """ONE bounded collect for several planner vectors."""
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id").isin([int(i) for i in ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    byid = {int(r["vec_id"]): [float(v) for v in r["embedding"]] for r in rows}
+    return [byid[int(i)] for i in ids]
+
+
+def _lit_arr(vec):
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _dot_lit(col, vec):
+    return _dot_col(col, _lit_arr(vec))
+
+
+def _norm_py(vec) -> float:
+    import math
+
+    s = 0.0
+    for v in vec:
+        s = s + v * v
+    return math.sqrt(s)
+
+
 @register(
     "ann_cosine_topk",
     f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -985,8 +1029,9 @@ def ann_cosine_topk(spark, sf_dir):
     over the embedding array — no Python, whole-stage codegen, embarrassingly
     parallel scan + TakeOrderedAndProject."""
     e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-    q = _qvec_lit(spark, sf_dir, 0)
-    cos = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * _norm_col(q))
+    (q,) = _vecs_rows(spark, sf_dir, [0])
+    emb = F.col("embedding")
+    cos = _dot_lit(emb, q) / (_norm_col(emb) * F.lit(_norm_py(q)))
     return (
         e.select("vec_id", F.round(cos, 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -1021,20 +1066,29 @@ def ann_lsh_bucketed(spark, sf_dir):
     more planes at real scale). Hyperplanes are data-derived (vec 1..4)
     so the oracle can reference the identical planes."""
     e = _emb(spark, sf_dir)
-    planes = [_qvec_lit(spark, sf_dir, i) for i in (1, 2, 3, 4)]
+    q, *planes = _vecs_rows(spark, sf_dir, [0, 1, 2, 3, 4])
+    emb = F.col("embedding")
     bucket = F.concat(
         *[
-            F.when(_dot_col(F.col("embedding"), p) >= 0, "1").otherwise("0")
+            F.when(_dot_lit(emb, p) >= 0, "1").otherwise("0")
             for p in planes
         ]
     )
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    qrow = b.filter(F.col("vec_id") == 0).select("bucket").collect()[0]
-    q = _qvec_lit(spark, sf_dir, 0)
-    cos = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * _norm_col(q))
+    # the query vector's own bucket: the identical dot products evaluated
+    # on the collected q (planner-side) — replaces the extra collect job
+    def _py_dot(a, bvec):
+        s = 0.0
+        for x, y in zip(a, bvec):
+            s = s + x * y
+        return s
+
+    qb = "".join("1" if _py_dot(q, p) >= 0 else "0" for p in planes)
+    cos = _dot_lit(emb, q) / (_norm_col(emb) * F.lit(_norm_py(q)))
     return (
-        b.filter((F.col("bucket") == qrow["bucket"]) & (F.col("vec_id") != 0))
-        .select("vec_id", F.round(cos, 6).alias("cos"))
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", bucket.alias("bucket"), F.round(cos, 6).alias("cos"))
+        .filter(F.col("bucket") == qb)
+        .select("vec_id", "cos")
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(5)
     )
@@ -1081,10 +1135,9 @@ def ann_ivf_topk(spark, sf_dir):
     column math (array_max over (score, -cid) structs); no Python, no
     shuffle beyond TakeOrderedAndProject."""
     e = _emb(spark, sf_dir)
-    q = _qvec_lit(spark, sf_dir, 0)
-    cent_lits = [
-        (i, _qvec_lit(spark, sf_dir, i)) for i in range(1, _IVF_C + 1)
-    ]
+    vecs = _vecs_rows(spark, sf_dir, range(_IVF_C + 1))  # ONE collect: q + C centroids
+    q, cents = vecs[0], vecs[1:]
+    emb = F.col("embedding")
     # probe selection: same score expression evaluated over the centroid
     # rows (tiny bounded job — the centroid table is C rows at any scale)
     probe_rows = (
@@ -1092,7 +1145,7 @@ def ann_ivf_topk(spark, sf_dir):
         .select(
             F.col("vec_id").alias("cid"),
             F.round(
-                _dot_col(F.col("embedding"), q) / _norm_col(F.col("embedding")), 6
+                _dot_lit(emb, q) / _norm_col(emb), 6
             ).alias("s"),
         )
         .orderBy(F.desc("s"), F.asc("cid"))
@@ -1103,16 +1156,14 @@ def ann_ivf_topk(spark, sf_dir):
     structs = [
         F.struct(
             F.round(
-                _dot_col(F.col("embedding"), clit) / _norm_col(clit), 6
+                _dot_lit(emb, cvec) / F.lit(_norm_py(cvec)), 6
             ).alias("s"),
             F.lit(-i).alias("nc"),
         )
-        for i, clit in cent_lits
+        for i, cvec in enumerate(cents, start=1)
     ]
     cluster = -F.array_max(F.array(*structs))["nc"]
-    cos = _dot_col(F.col("embedding"), q) / (
-        _norm_col(F.col("embedding")) * _norm_col(q)
-    )
+    cos = _dot_lit(emb, q) / (_norm_col(emb) * F.lit(_norm_py(q)))
     return (
         e.filter(F.col("vec_id") != 0)
         .withColumn("_cl", cluster)
@@ -1138,13 +1189,18 @@ def emb_near_dup(spark, sf_dir):
     the self-join is per-block (at 100 TB the block key would be an LSH
     bucket as in ann_lsh_bucketed — never an unblocked cross join)."""
     e = _emb(spark, sf_dir)
+    # row norms are computed once per ROW (before the join) instead of
+    # once per PAIR — identical expression values either way
+    norm = _norm_col(F.col("embedding"))
     x = e.select(
-        F.col("label").alias("l"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+        F.col("label").alias("l"), F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"), norm.alias("na"),
     )
     y = e.select(
-        F.col("label").alias("l"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+        F.col("label").alias("l"), F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"), norm.alias("nb"),
     )
-    cos = _dot_col(F.col("ea"), F.col("eb")) / (_norm_col(F.col("ea")) * _norm_col(F.col("eb")))
+    cos = _dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         x.join(y, "l")
         .filter(F.col("a") < F.col("b"))

@@ -51,48 +51,86 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     mode: str = "any",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Returns (``id_col``, score) for all matching docs, unranked.
+    """Returns (``id_col``, *extra_cols, score) for all matching docs,
+    unranked.
 
     Robertson idf ln((N-df+0.5)/(df+0.5)+1), identical to the oracle
     (marlin_spark.oracle.bm25) and the block index.
+
+    Shape (round-6): per-doc tf/dl come straight off the token ARRAY
+    (size/filter column math) instead of explode + corpus-wide
+    (doc, term) / (doc) aggregations — the query only ever needs tf for
+    its own handful of terms, so the whole pipeline is two narrow scans:
+    one aggregate job for (N, avgdl, df_t...) and one match/score scan,
+    with zero exchanges (the old plan carried 4 tokenize passes and 3
+    joins through 18 exchanges). The per-term idf/tf/dl expression trees
+    are kept literally identical to the previous form so scores are
+    bit-equal; df/n are exact integers either way.
     """
     terms = simple_terms(query)
-    spark = docs.sparkSession
-    toks = tokens_df(docs, id_col, text_col)
-    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("_doc").agg(F.count("*").alias("dl"))
     n_terms = len(terms)
     if n_terms == 0:
         return docs.select(F.col(id_col), F.lit(0.0).alias("score"))
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    stats = dl.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n, avgdl = float(stats["n"]), float(stats["avgdl"])
-    df_ = (
-        tf.join(F.broadcast(qdf), "term")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), SIMPLE_SPLIT), lambda t: t != ""
     )
-    scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df_), "term")
-        .join(dl, "_doc")
-        .withColumn("idf", F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
-        .withColumn(
-            "tsc",
-            F.col("idf")
-            * F.col("tf")
-            * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        *[F.col(c) for c in extra_cols],
+        toks_arr.alias("_toks"),
+    ).withColumn("_dl", F.size("_toks"))
+    def _eq(term):
+        # NB: a 2-arg lambda would make F.filter pass the element INDEX
+        # as the second argument — bind the term via closure instead
+        return lambda x: x == term
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(
+            f"_tf{i}", F.size(F.filter(F.col("_toks"), _eq(t)))
         )
-        .groupBy("_doc")
-        .agg(F.sum("tsc").alias("score"), F.count("*").alias("_nt"))
-    )
+    # one bounded job: collection stats + per-query-term document
+    # frequencies (the planner lookup the old path did with a collect
+    # plus an extra in-plan aggregation)
+    stats = base.agg(
+        F.count(F.when(F.col("_dl") > 0, F.lit(1))).alias("n"),
+        F.avg(F.when(F.col("_dl") > 0, F.col("_dl"))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, F.lit(1))).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    ).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"] or 1.0)
+    tscs = []
+    for i in range(n_terms):
+        dfi = int(stats[f"df{i}"])
+        idf = F.log((n - F.lit(dfi) + 0.5) / (F.lit(dfi) + 0.5) + 1.0)
+        tf = F.col(f"_tf{i}")
+        tscs.append(
+            idf
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("_dl") / avgdl))
+        )
+    score = tscs[0]
+    for tsc in tscs[1:]:
+        score = score + tsc
+    matched = [F.col(f"_tf{i}") > 0 for i in range(n_terms)]
+    any_match = matched[0]
+    for m in matched[1:]:
+        any_match = any_match | m
+    scored = base.filter(any_match)
     if mode == "all":
-        scored = scored.filter(F.col("_nt") >= n_terms)
-    return scored.select(F.col("_doc").alias(id_col), "score")
+        nt = matched[0].cast("int")
+        for m in matched[1:]:
+            nt = nt + m.cast("int")
+        scored = scored.filter(nt >= n_terms)
+    return scored.select(
+        F.col("_doc").alias(id_col),
+        *[F.col(c) for c in extra_cols],
+        score.alias("score"),
+    )
 
 
 def bm25_topk(

@@ -103,7 +103,10 @@ def test_bm25_df_wholestage_codegen(spark):
     assert "BatchEvalPython" not in plan_str
     assert "ArrowEvalPython" not in plan_str
     assert "MapInPandas" not in plan_str
-    assert "BroadcastHashJoin" in plan_str
+    # round-6 shape: tf/dl come off the token array per row — the score
+    # scan is join-free and exchange-free, top-k is a TakeOrdered
+    assert "Join" not in plan_str
+    assert "Exchange" not in plan_str
     assert "TakeOrderedAndProject" in plan_str
 
 
