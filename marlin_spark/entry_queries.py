@@ -615,14 +615,23 @@ def _shingles_df(spark, sf_dir):
             "toks"
         ),
     )
-    sh = (
-        toks.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("s"))
-        .distinct()
+    # distinct (doc_id, s) without a shuffle: doc_id is unique per row,
+    # so array_distinct before the explode IS the old .distinct()
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s"),
     )
-    keep = (
-        sh.groupBy("s").count().filter(F.col("count") <= _SHINGLE_MAX_DF).select("s")
+    # hot-shingle df cap as a window count over s: ONE exchange on s
+    # (whose partitioning the downstream pair self-join reuses) instead
+    # of the old groupBy(s) + join-back pair of exchanges; a skewed-hot
+    # shingle is exactly what the cap drops, so the window partition is
+    # bounded by max_df at scale
+    w = Window.partitionBy("s")
+    return (
+        sh.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= _SHINGLE_MAX_DF)
+        .select("doc_id", "s")
     )
-    return sh.join(keep, "s").select("doc_id", "s")
 
 
 @register(
@@ -926,8 +935,19 @@ def dd_simhash(spark, sf_dir):
     from marlin_spark.operators.dedup import banded_hamming_pairs
 
     d = _docs(spark, sf_dir)
-    toks = tokens_df(d, "doc_id", "text").distinct()
-    th = toks.select(F.col("_doc").alias("doc_id"), F.expr("md5(term)").alias("h")).distinct()
+    # distinct (doc_id, term) straight off the token array: doc_id is
+    # unique per documents row, so explode(array_distinct(tokens)) IS the
+    # old tokens_df().distinct() / md5().distinct() — minus two full
+    # shuffles; the only exchange left before the band join is the
+    # map-side-combinable 32-sum aggregation
+    th = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+            )
+        ).alias("term"),
+    ).select("doc_id", F.expr("md5(term)").alias("h"))
     # the same 32 sum-of-sign columns, via F.expr on the shared SQL fragments
     sum_exprs = [F.expr(frag.strip().rstrip(",")) for frag in _SIMHASH_SUMS_SQL.split("\n")]
     sums = th.groupBy("doc_id").agg(*sum_exprs)
