@@ -764,15 +764,16 @@ def dd_connected_components(spark, sf_dir):
     cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     pairs = pr.join(ca, "a").join(cb, "b").filter(j >= 0.8).select("a", "b")
-    import tempfile
 
     return (
-        connected_components(
-            pairs,
-            # reliable (fault-tolerant) lineage cuts every K iterations;
-            # on a cluster this would be a DFS path
-            checkpoint_dir=tempfile.mkdtemp(prefix="marlin_cc_ckpt_"),
-        )
+        # lineage cuts via localCheckpoint here: the operator supports
+        # reliable checkpoints (pass checkpoint_dir; pytest-pinned), and a
+        # cluster deployment would hand it a DFS path — but this entry's
+        # old tempfile dir lived on the DRIVER's local disk, which dies
+        # with the node exactly like a localCheckpoint does, so the
+        # reliable-mode writes bought no fault tolerance here and cost
+        # ~1.8 s/run at sf0.1 (measured round 6)
+        connected_components(pairs)
         .select(F.col("node").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
@@ -801,7 +802,12 @@ def dd_minhash_lsh(spark, sf_dir):
     exact Jaccard verification >= 0.5. shingle->minhash->band->bucket-join
     per the task spec; bucket join keeps candidate generation linear-ish
     in duplicates rather than quadratic in corpus size."""
-    sh = _shingles_df(spark, sf_dir)
+    # the kept-shingle set is referenced ~12x across signature build,
+    # candidate join and verification — materialize it once inside this
+    # query (localCheckpoint truncates the lineage, so Catalyst plans a
+    # 1-node scan instead of optimizing a 12x-inlined subtree; recomputed
+    # from parquet on every invocation, nothing persists across queries)
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # all 8 minhashes in ONE map-side-combinable aggregation (one
     # shuffle of 8-column partials) instead of the xN row explosion +
@@ -839,6 +845,9 @@ def dd_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
+        # candidate pairs feed the verification join THREE ways (pair
+        # list + both id sides) — same lineage-truncation rationale as sh
+        .localCheckpoint(eager=True)
     )
     # verification touches only candidate docs' shingles: semi-join
     # prune sh down to LSH collisions (AQE broadcasts the small id set)
