@@ -52,6 +52,20 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
+# shared token-array fragments (round 6): a match-set test ("doc contains
+# term X") is a per-row predicate over the split token array — doc_id is
+# unique per documents row, so filter(array_contains(...)) is EXACTLY the
+# old explode -> DISTINCT doc_id -> join/aggregate pipeline, minus every
+# exchange. _TOKS_RAW keeps ''-entries (harmless for containment);
+# _TOKS is the ''-filtered array whose 1-based positions match _POS_CTES.
+_TOKS_RAW = "split(lower(text), '[^a-z0-9]+')"
+_TOKS = f"filter({_TOKS_RAW}, t -> t <> '')"
+
+
+def _contains(term: str):
+    return F.array_contains(F.expr(_TOKS_RAW), term)
+
+
 # deterministic transcripts view over documents (FIXTURES.md §1 schema)
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -141,9 +155,10 @@ SELECT count(DISTINCT doc_id)::BIGINT AS n_matches FROM toks WHERE term = 'spark
 )
 def ft_term_match_count(spark, sf_dir):
     """Single-term match cardinality (posting-list length)."""
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
-    return toks.filter(F.col("term") == "spark").agg(
-        F.countDistinct("_doc").alias("n_matches")
+    return (
+        _docs(spark, sf_dir)
+        .filter(_contains("spark"))
+        .agg(F.count("*").alias("n_matches"))
     )
 
 
@@ -173,12 +188,21 @@ FROM toks WHERE term LIKE 'st%' GROUP BY term ORDER BY term""",
 )
 def ft_prefix_terms(spark, sf_dir):
     """Prefix range scan over the dictionary (dtrie subtree walk analog,
-    /root/reference/src/main/dtrie.c:642-700)."""
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    /root/reference/src/main/dtrie.c:642-700). Prefix filter + per-doc
+    dedup run INSIDE the token array before the explode, so the exchange
+    carries only matching (doc, term) pairs and the aggregate is a plain
+    count (no two-phase countDistinct)."""
     return (
-        toks.filter(F.col("term").startswith("st"))
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    f"array_distinct(filter({_TOKS_RAW}, t -> startswith(t, 'st')))"
+                )
+            ).alias("term")
+        )
         .groupBy("term")
-        .agg(F.countDistinct("_doc").alias("df"))
+        .agg(F.count("*").alias("df"))
         .orderBy("term")
     )
 
@@ -193,9 +217,10 @@ def ft_prefix_short(spark, sf_dir):
     shape (random 1-8-char prefixes, test/wrk/reddit.lua:13-27), served
     at engine level by the precomputed prefix_accel/ docid blobs
     (index/prefix_accel.py; dtrie.c:355-375 analog)."""
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
-    return toks.filter(F.col("term").startswith("v")).agg(
-        F.countDistinct("_doc").alias("n_matches")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.exists(F.expr(_TOKS_RAW), lambda t: t.startswith("v")))
+        .agg(F.count("*").alias("n_matches"))
     )
 
 
@@ -206,11 +231,13 @@ t2 AS (SELECT * FROM toks WHERE term <> '')
 SELECT doc_id, count(*)::BIGINT AS dl FROM t2 GROUP BY doc_id ORDER BY doc_id LIMIT 100""",
 )
 def ft_doc_lengths(spark, sf_dir):
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
+    # dl is the filtered token array's size — no explode, no groupBy;
+    # the dl > 0 filter keeps the old semantics (token-less docs had no
+    # exploded rows, hence no group)
     return (
-        toks.groupBy("_doc")
-        .agg(F.count("*").alias("dl"))
-        .select(F.col("_doc").alias("doc_id"), "dl")
+        _docs(spark, sf_dir)
+        .select("doc_id", F.size(F.expr(_TOKS)).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
         .orderBy("doc_id")
         .limit(100)
     )
@@ -224,8 +251,12 @@ dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT AS total_tokens FROM dl""",
 )
 def ft_collection_stats(spark, sf_dir):
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
-    dl = toks.groupBy("_doc").agg(F.count("*").alias("dl"))
+    # same array-size dl as ft_doc_lengths: one narrow scan + scalar agg
+    dl = (
+        _docs(spark, sf_dir)
+        .select(F.size(F.expr(_TOKS)).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
     return dl.agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
@@ -244,18 +275,24 @@ SELECT term, df, round(ln((n.n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
 FROM dfs CROSS JOIN n ORDER BY term""",
 )
 def ft_idf(spark, sf_dir):
-    """Per-term df + Robertson idf, incl. an unseen term (df=0 path)."""
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text").distinct()
-    n = toks.select("_doc").distinct().count()
+    """Per-term df + Robertson idf, incl. an unseen term (df=0 path).
+    N and every df are containment counts over the token array — ONE
+    aggregate job replaces the exploded-distinct count + left join +
+    groupBy (idf math unchanged, still evaluated by Catalyst)."""
+    terms = ["spark", "join", "table", "zzzunknownzzz"]
+    stats = _docs(spark, sf_dir).agg(
+        F.count(F.when(F.size(F.expr(_TOKS)) > 0, F.lit(1))).alias("n"),
+        *[
+            F.count(F.when(_contains(t), F.lit(1))).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
     q = spark.createDataFrame(
-        [("spark",), ("join",), ("table",), ("zzzunknownzzz",)], "term string"
+        [(t, int(stats[f"df{i}"])) for i, t in enumerate(terms)],
+        "term string, df long",
     )
-    dfs = (
-        q.join(toks, "term", "left")
-        .groupBy("term")
-        .agg(F.count("_doc").alias("df"))
-    )
-    return dfs.select(
+    return q.select(
         "term",
         "df",
         F.round(
@@ -274,14 +311,8 @@ GROUP BY lang ORDER BY count DESC, lang LIMIT 10""",
 def ft_facet_lang(spark, sf_dir):
     """Facet counts over the match set (SURVEY §2.5 facet counting)."""
     d = _docs(spark, sf_dir)
-    m = (
-        tokens_df(d, "doc_id", "text")
-        .filter(F.col("term") == "data")
-        .select(F.col("_doc").alias("doc_id"))
-        .distinct()
-    )
     return (
-        d.join(m, "doc_id")
+        d.filter(_contains("data"))
         .groupBy("lang")
         .agg(F.count("*").alias("count"))
         .orderBy(F.desc("count"), F.asc("lang"))
@@ -300,13 +331,7 @@ FROM documents JOIN m USING (doc_id)""",
 def ft_metric_stats(spark, sf_dir):
     """stats metric agg over matched docs (metric-aggs.c:145-218 analog)."""
     d = _docs(spark, sf_dir)
-    m = (
-        tokens_df(d, "doc_id", "text")
-        .filter(F.col("term") == "table")
-        .select(F.col("_doc").alias("doc_id"))
-        .distinct()
-    )
-    return d.join(m, "doc_id").agg(
+    return d.filter(_contains("table")).agg(
         F.min("n_chars").alias("min"),
         F.max("n_chars").alias("max"),
         F.round(F.avg("n_chars"), 6).alias("avg"),
@@ -350,13 +375,7 @@ def ft_cardinality(spark, sf_dir):
     """Exact cardinality agg (reference metric-aggs.c:10-103; HLL was its
     TODO — approx_count_distinct is this engine's scale variant)."""
     d = _docs(spark, sf_dir)
-    m = (
-        tokens_df(d, "doc_id", "text")
-        .filter(F.col("term") == "query")
-        .select(F.col("_doc").alias("doc_id"))
-        .distinct()
-    )
-    return d.join(m, "doc_id").agg(
+    return d.filter(_contains("query")).agg(
         F.countDistinct("source").alias("cardinality")
     )
 
@@ -389,14 +408,21 @@ def ft_phrase_match(spark, sf_dir):
     """Exact phrase match "table hash" from token positions — the SQL
     twin of SearchEngine.phrase_match (positional postings adjacency;
     the reference declared but never wrote its phrase index,
-    /root/reference/src/main/sindex.c:718-724). Self-join on (doc,
-    idx+1): an equi-join on doc_id, never a cross join."""
-    pos = _pos_df(spark, sf_dir)
-    a = pos.filter(F.col("term") == "table").select("doc_id", "idx")
-    b = pos.filter(F.col("term") == "hash").select(
-        "doc_id", (F.col("idx") - 1).alias("idx")
+    /root/reference/src/main/sindex.c:718-724). Round-6 shape: the
+    adjacency test runs INSIDE each doc's token array (zip_with the
+    array against its own 1-shifted tail) — same positional semantics as
+    the old positional self-join, with zero exchanges; doc_id is unique
+    so the old DISTINCT is a no-op."""
+    adjacent = F.expr(
+        f"exists(zip_with({_TOKS}, slice({_TOKS}, 2, greatest(size({_TOKS}) - 1, 0)), "
+        "(a, b) -> a = 'table' AND b = 'hash'), x -> x)"
     )
-    return a.join(b, ["doc_id", "idx"]).select("doc_id").distinct().orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .filter(adjacent)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -415,12 +441,21 @@ def ft_marlin_match(spark, sf_dir):
     """The marlin term algebra for "table hash" in pure Catalyst: words
     generate [w1, w1w2, w2]; doc matches iff (w1|w1w2) AND (w1w2|w2), OR
     the concatenation w1w2 (term generation query.c:489-603, combine
-    squery.c:212-277). Engine twin: SearchEngine.match_marlin."""
-    t = _pos_df(spark, sf_dir).select("doc_id", "term").distinct()
-    m1 = t.filter(F.col("term").isin("table", "tablehash")).select("doc_id").distinct()
-    m2 = t.filter(F.col("term").isin("tablehash", "hash")).select("doc_id").distinct()
-    comb = t.filter(F.col("term") == "tablehash").select("doc_id").distinct()
-    return m1.intersect(m2).union(comb).distinct().orderBy("doc_id")
+    squery.c:212-277). Engine twin: SearchEngine.match_marlin.
+
+    The set algebra (INTERSECT/UNION over distinct doc_id sets drawn
+    from one table) is per-doc boolean logic over containment tests —
+    doc_id is unique, so the whole combine is one predicate on the token
+    array: zero exchanges instead of five set operations."""
+    c1 = _contains("table") | _contains("tablehash")
+    c2 = _contains("tablehash") | _contains("hash")
+    c3 = _contains("tablehash")
+    return (
+        _docs(spark, sf_dir)
+        .filter((c1 & c2) | c3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -435,11 +470,19 @@ def ft_fuzzy_term(spark, sf_dir):
     (both engines implement identical plain-Levenshtein, so this pins the
     expansion exactly; the engine's full Damerau/OSA + prefix semantics
     are pinned by levenshtein.robot goldens in tests/test_typo.py)."""
-    toks = tokens_df(_docs(spark, sf_dir), "doc_id", "text")
-    d = toks.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    # per-doc dedup + the levenshtein prune run BEFORE the aggregation:
+    # only edit-distance-1 (doc, term) survivors reach the exchange, and
+    # df becomes a plain count (the old shape shipped the full token
+    # stream through a two-phase countDistinct, then threw away all but
+    # a handful of dictionary rows)
     return (
-        d.filter(F.levenshtein(F.col("term"), F.lit("tible")) <= 1)
-        .select("term", "df")
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.expr(f"array_distinct({_TOKS})")).alias("term")
+        )
+        .filter(F.levenshtein(F.col("term"), F.lit("tible")) <= 1)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
         .orderBy("term")
     )
 
@@ -455,14 +498,20 @@ def ft_highlight_counts(spark, sf_dir):
     """Highlight support data: per-doc occurrence count + first position
     of the query term (snippet anchor) — what query/highlight.py consumes
     (reference emits <em> spans in form_result, query.c:385-401)."""
-    pos = _pos_df(spark, sf_dir)
+    # per-doc occurrence count and first 1-based position straight off
+    # the token array (size(filter(...)), array_position) — the old
+    # posexplode + groupBy pair collapses to a scan + TakeOrdered
+    toks = F.expr(_TOKS)
     return (
-        pos.filter(F.col("term") == "data")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_hits"),
-            F.min("idx").cast("long").alias("first_pos"),
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: t == "data"))
+            .cast("long")
+            .alias("n_hits"),
+            F.array_position(toks, "data").alias("first_pos"),
         )
+        .filter(F.col("n_hits") > 0)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(20)
     )
@@ -1544,14 +1593,43 @@ def ft_proximity_rank(spark, sf_dir):
     between 'data' and 'table' per doc, ranked nearest-first — the SQL
     twin of the rank cascade's proximity feature (reference
     docrank.c:176-225 computes the same min-span over position lists;
-    comparator sort.c:46-100). Equi-join on doc_id, never a cross join."""
-    pos = _pos_df(spark, sf_dir)
-    a = pos.filter(F.col("term") == "data").select("doc_id", F.col("idx").alias("ia"))
-    b = pos.filter(F.col("term") == "table").select("doc_id", F.col("idx").alias("ib"))
+    comparator sort.c:46-100). Round-6 shape: both terms' 1-based
+    position lists and the min-|span| fold are computed inside the row's
+    token array (the reference's own per-doc shape) — no explode, no
+    join, no exchange; the min over the position cross product is the
+    same integer the join+groupBy produced."""
+
+    def _positions(term):
+        return F.filter(
+            F.transform(
+                F.expr(_TOKS),
+                lambda x, i: F.when(x == term, i + F.lit(1)),
+            ),
+            lambda p: p.isNotNull(),
+        )
+
+    big = F.lit(2147483647)
+    prox = F.aggregate(
+        F.col("pa"),
+        big,
+        lambda acc, a: F.least(
+            acc,
+            F.aggregate(
+                F.col("pb"),
+                big,
+                lambda acc2, b2: F.least(acc2, F.abs(a - b2)),
+            ),
+        ),
+    )
     return (
-        a.join(b, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.min(F.abs(F.col("ia") - F.col("ib"))).cast("long").alias("proximity"))
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            _positions("data").alias("pa"),
+            _positions("table").alias("pb"),
+        )
+        .filter((F.size("pa") > 0) & (F.size("pb") > 0))
+        .select("doc_id", prox.cast("long").alias("proximity"))
         .orderBy("proximity", "doc_id")
         .limit(15)
     )
@@ -1571,14 +1649,8 @@ def ft_sort_by(spark, sf_dir):
     list, index.c:1134-1148; pinned by test/robot/sort.robot:46-60).
     Engine twin: SearchEngine.search_ranked(sort_by=...)."""
     d = _docs(spark, sf_dir)
-    m = (
-        tokens_df(d, "doc_id", "text")
-        .filter(F.col("term") == "data")
-        .select(F.col("_doc").alias("doc_id"))
-        .distinct()
-    )
     return (
-        d.join(m, "doc_id")
+        d.filter(_contains("data"))
         .select("doc_id", "n_chars")
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(15)
