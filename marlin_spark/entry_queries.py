@@ -36,20 +36,38 @@ from marlin_spark.operators.bm25_df import (
 
 # --------------------------------------------------------------------- util
 
+# Per-session parquet SCHEMA cache (catalog metadata only — never rows):
+# every bare spark.read.parquet() runs a footer/schema-inference job, and
+# each registry query re-opened its tables, paying that job once per
+# query. A catalog-backed deployment gets the schema from the metastore;
+# this is the path-table equivalent. Keyed on the SparkSession instance
+# so nothing outlives or crosses sessions.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _read(spark, f"{sf_dir}/events.parquet")
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _read(spark, f"{sf_dir}/lineitem.parquet")
 
 
 # shared token-array fragments (round 6): a match-set test ("doc contains
@@ -1533,8 +1551,8 @@ GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 def tpch_q3_style(spark, sf_dir):
     """3-way join + agg + top-k; the dimension side (customer) broadcasts
     — check .explain for BroadcastHashJoin."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _read(spark, f"{sf_dir}/customer.parquet")
+    o = _read(spark, f"{sf_dir}/orders.parquet")
     li = _lineitem(spark, sf_dir)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
