@@ -205,6 +205,7 @@ def banded_hamming_pairs(
         ).alias("bd"),
     ).select("_id", "_h", F.col("bd.bi").alias("bi"), F.col("bd.bv").alias("bv"))
     x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     cand = (
         x.join(
             y,
@@ -218,12 +219,15 @@ def banded_hamming_pairs(
             F.col("x._h").alias("ha"),
             F.col("y._h").alias("hb"),
         )
-        .distinct()  # a close pair shares several bands; dedupe candidates
+        # verify BEFORE deduping: the hamming test needs no shuffle, so
+        # running it on the raw join output drops far-apart band
+        # collisions before the distinct's exchange (a close pair shares
+        # several bands, hence the dedupe; filter∘distinct ≡
+        # distinct∘filter on these columns)
+        .filter(ham <= max_hamming)
+        .distinct()
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(ham <= max_hamming).select(
-        "a", "b", ham.cast("long").alias("hamming")
-    )
+    return cand.select("a", "b", ham.cast("long").alias("hamming"))
 
 
 def dedup_keep_first(
