@@ -882,7 +882,6 @@ def dd_minhash_lsh(spark, sf_dir):
     # 1-node scan instead of optimizing a 12x-inlined subtree; recomputed
     # from parquet on every invocation, nothing persists across queries)
     sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # all 8 minhashes in ONE map-side-combinable aggregation (one
     # shuffle of 8-column partials) instead of the xN row explosion +
     # groupBy(doc_id, h) + collect_list band re-aggregation — ~6x less
@@ -923,29 +922,28 @@ def dd_minhash_lsh(spark, sf_dir):
         # list + both id sides) — same lineage-truncation rationale as sh
         .localCheckpoint(eager=True)
     )
-    # verification touches only candidate docs' shingles: semi-join
-    # prune sh down to LSH collisions (AQE broadcasts the small id set)
-    # so exact-Jaccard cost is collision-proportional, not corpus-wide
-    cand_ids = (
-        cand.select(F.col("a").alias("doc_id"))
-        .unionByName(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
+    # exact-Jaccard verification on per-doc KEPT-shingle sets: two joins
+    # of the candidate pairs against (doc -> shingle array, n) and a
+    # narrow array_intersect, instead of the old exploded shingle
+    # equi-join + groupBy(a, b) + two count joins (5 stages -> 2).
+    # Shingle sets are distinct per doc, so |array_intersect| is exactly
+    # the old per-pair match count; work remains collision-proportional
+    # (only candidate pairs are verified) and per-row state is bounded
+    # by doc length.
+    kept = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("ss"), F.count("*").alias("n")
     )
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
-    shx = sh_c.select(F.col("doc_id").alias("a"), F.col("s").alias("sx"))
-    shy = sh_c.select(F.col("doc_id").alias("b2"), F.col("s").alias("sy"))
-    pr = (
-        cand.join(shx, "a")
-        .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    ja = kept.select(
+        F.col("doc_id").alias("a"), F.col("ss").alias("sa"), F.col("n").alias("na")
     )
-    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    jb = kept.select(
+        F.col("doc_id").alias("b"), F.col("ss").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        pr.join(ca, "a")
-        .join(cb, "b")
+        cand.join(ja, "a")
+        .join(jb, "b")
         .filter(j >= 0.5)
         .select("a", "b", F.round(j, 6).alias("jaccard"))
         .orderBy("a", "b")
