@@ -1,0 +1,154 @@
+"""Round-6 optimization equivalence pins.
+
+Each optimization rewrote an operator's internals while keeping its
+declared result bit-identical; these tests pin the equivalences on
+synthetic inputs (the full-output equivalence across sf0.001/0.01/0.1
+was verified with scripts/snapshot_outputs.py during the round, and
+tests/test_entry_parity.py keeps pinning every entry against DuckDB).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_narrow_scoring_matches_explode_pipeline(spark):
+    """The array-math bm25_scores must equal the old explode+join
+    pipeline (re-created inline) term for term."""
+    from marlin_spark.operators.bm25_df import (
+        bm25_scores,
+        simple_terms,
+        tokens_df,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    query = "spark join table"
+    terms = simple_terms(query)
+    # old pipeline, verbatim shape
+    toks = tokens_df(docs, "doc_id", "text")
+    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("_doc").agg(F.count("*").alias("dl"))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    df_ = tf.join(F.broadcast(qdf), "term").groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    k1, b = 1.2, 0.75
+    old = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "_doc")
+        .withColumn(
+            "idf", F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+        .withColumn(
+            "tsc",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("_doc")
+        .agg(F.sum("tsc").alias("score"))
+        .select(F.col("_doc").alias("doc_id"), F.round("score", 6).alias("score"))
+    )
+    new = bm25_scores(docs, query).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    o = {r["doc_id"]: r["score"] for r in old.collect()}
+    m = {r["doc_id"]: r["score"] for r in new.collect()}
+    assert o == m and len(m) > 0
+
+
+def test_bm25_plan_is_exchange_free(spark):
+    from marlin_spark.operators.bm25_df import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(bm25_topk(docs, "spark join", k=5))
+    assert "Exchange" not in p and "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_simhash_bit_sums_equal_substr_case_sums(spark):
+    """The shiftright/bit-test sign sums must equal the hex-substr
+    CASE..IN sums (the oracle formula) for arbitrary md5 hashes."""
+    from marlin_spark.entry_queries import _SIMHASH_SUMS_SQL
+
+    rows = [(i, f"w{i}x{i * 7}",) for i in range(200)]
+    th = spark.createDataFrame(rows, "doc_id long, term string").select(
+        "doc_id", F.expr("md5(term)").alias("h")
+    )
+    old_exprs = [
+        F.expr(frag.strip().rstrip(","))
+        for frag in _SIMHASH_SUMS_SQL.split("\n")
+    ]
+    old = th.groupBy("doc_id").agg(*old_exprs)
+    new = th.withColumn(
+        "v", F.expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)")
+    ).groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN shiftright(v, {28 - 4 * (i // 4) + (i % 4)}) & 1 = 1 "
+                f"THEN 1 ELSE -1 END)"
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
+    )
+    o = sorted(tuple(r) for r in old.collect())
+    m = sorted(tuple(r) for r in new.collect())
+    assert o == m
+
+
+def test_array_intersect_jaccard_equals_exploded_join(spark):
+    """|array_intersect(sets)| == exploded-equi-join match count for the
+    minhash verification (sets are distinct per doc by construction)."""
+    data = [
+        (1, ["a b c", "b c d", "c d e"]),
+        (2, ["b c d", "c d e", "x y z"]),
+        (3, ["p q r"]),
+    ]
+    kept = spark.createDataFrame(data, "doc_id long, ss array<string>")
+    sh = kept.select("doc_id", F.explode("ss").alias("s"))
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    shx = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sx"))
+    shy = sh.select(F.col("doc_id").alias("b2"), F.col("s").alias("sy"))
+    old = (
+        cand.join(shx, "a")
+        .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = kept.select(F.col("doc_id").alias("a"), F.col("ss").alias("sa"))
+    jb = kept.select(F.col("doc_id").alias("b"), F.col("ss").alias("sb"))
+    new = cand.join(ja, "a").join(jb, "b").select(
+        "a", "b", F.size(F.array_intersect("sa", "sb")).alias("inter")
+    )
+    o = {(r["a"], r["b"]): r["inter"] for r in old.collect()}
+    m = {(r["a"], r["b"]): r["inter"] for r in new.collect() if r["inter"] > 0}
+    assert o == m and o[(1, 2)] == 2
+
+
+def test_phrase_adjacency_array_form(spark):
+    """zip_with-shifted-tail adjacency == positional self-join on a case
+    with repeated tokens and a boundary-position phrase."""
+    rows = [
+        (1, "table hash join"),          # phrase at start
+        (2, "join table hash"),          # phrase at end
+        (3, "table x hash"),             # not adjacent
+        (4, "hash table hash table hash"),  # adjacency across repeats
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    adjacent = F.expr(
+        f"exists(zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+        "(a, b) -> a = 'table' AND b = 'hash'), x -> x)"
+    )
+    got = sorted(r["doc_id"] for r in d.filter(adjacent).collect())
+    assert got == [1, 2, 4]
