@@ -30,14 +30,19 @@ def _shingles(
             "toks"
         ),
     )
+    # array_distinct BEFORE the explode: within-doc repeat shingles never
+    # reach the distinct's exchange (shuffle fewer bytes); the .distinct()
+    # stays because id_col is not guaranteed unique across input rows
     sh = toks.select(
         "_id",
         F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {n} THEN "
-                f"transform(sequence(1, size(toks) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
-                "ELSE CAST(array() AS array<string>) END"
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
             )
         ).alias("s"),
     ).distinct()
@@ -49,8 +54,18 @@ def _shingles(
         # pairs are then measured on the surviving shingle sets; a shingle
         # this common carries ~zero near-dup signal (it distinguishes
         # nothing), the standard trade in web-scale dedup pipelines.
-        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
-        sh = sh.join(keep, "s")
+        # The cap is a window count over s — ONE exchange, whose hash
+        # partitioning (and sort) the downstream pair self-join reuses —
+        # instead of groupBy(s) + join-back (two exchanges). A hot
+        # shingle's rows land on one reducer either way, and the cap
+        # drops exactly those keys.
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+            .filter(F.col("_df") <= max_df)
+            .select("_id", "s")
+        )
     return sh
 
 
@@ -116,25 +131,45 @@ def minhash_lsh_pairs(
     With r = band_size, b = n_hashes/r bands, the S-curve threshold is
     ~(1/b)^(1/r); tune n_hashes/band_size to the target threshold.
     max_shingle_df caps hot shingles (see _shingles)."""
-    spark = docs.sparkSession
     sh = _shingles(docs, id_col, text_col, shingle_n, max_df=max_shingle_df)
-    cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
-    hashes = spark.range(n_hashes).select(F.col("id").cast("int").alias("h"))
-    sigs = (
-        sh.crossJoin(F.broadcast(hashes))
-        .select(
-            "_id", "h", F.expr("md5(concat(cast(h AS STRING), '|', s))").alias("hv")
-        )
-        .groupBy("_id", "h")
-        .agg(F.min("hv").alias("sig"))
+    # all n_hashes minhashes in ONE map-side-combinable aggregation (one
+    # shuffle of n_hashes-column partials) instead of the crossJoin row
+    # explosion + groupBy(_id, h) + collect_list band re-aggregation —
+    # ~n_hashes x less shuffled data, byte-identical signatures (the
+    # literal f"{h}|" prefix equals the old concat(cast(h AS STRING),'|'))
+    sigs = sh.groupBy("_id").agg(
+        *[
+            F.min(F.expr(f"md5(concat('{h}|', s))")).alias(f"sig{h}")
+            for h in range(n_hashes)
+        ]
     )
-    bands = sigs.groupBy(
-        "_id", (F.col("h") / band_size).cast("int").alias("band")
-    ).agg(
-        F.expr(
-            "concat_ws('', transform(sort_array(collect_list(struct(h, sig))), x -> x.sig))"
-        ).alias("bucket")
-    )
+    # band b covers hash columns [b*r, min((b+1)*r, n_hashes)) — a
+    # trailing partial band when band_size does not divide n_hashes,
+    # exactly like the old int(h / band_size) grouping; concat in h
+    # order equals the old sort_array(struct(h, sig)) bucket string
+    n_bands = (n_hashes + band_size - 1) // band_size
+    bands = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"sig{h}")
+                                for h in range(
+                                    b * band_size,
+                                    min((b + 1) * band_size, n_hashes),
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -146,19 +181,28 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .distinct()
     )
-    shx = sh.select(F.col("_id").alias("a"), F.col("s").alias("sx"))
-    shy = sh.select(F.col("_id").alias("b2"), F.col("s").alias("sy"))
-    pr = (
-        cand.join(shx, "a")
-        .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    # exact-Jaccard verification on per-doc shingle ARRAYS: two joins of
+    # the candidate pairs against (doc -> shingle array, n) plus a narrow
+    # array_intersect, instead of the exploded shingle equi-join +
+    # groupBy(a, b) + two count joins (5 shuffle stages -> 2 joins).
+    # _shingles output is distinct per (_id, s), so |array_intersect| is
+    # exactly the exploded join's match count; work remains
+    # collision-proportional (only candidate pairs are verified) and
+    # per-row state is bounded by doc length.
+    kept = sh.groupBy("_id").agg(
+        F.collect_list("s").alias("ss"), F.count("*").alias("n")
     )
-    ca = cnt.select(F.col("_id").alias("a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("_id").alias("b"), F.col("n").alias("nb"))
-    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ja = kept.select(
+        F.col("_id").alias("a"), F.col("ss").alias("sa"), F.col("n").alias("na")
+    )
+    jb = kept.select(
+        F.col("_id").alias("b"), F.col("ss").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        pr.join(ca, "a").join(cb, "b")
+        cand.join(ja, "a")
+        .join(jb, "b")
         .filter(j >= threshold)
         .select("a", "b", j.alias("jaccard"))
     )

@@ -134,6 +134,141 @@ def test_array_intersect_jaccard_equals_exploded_join(spark):
     assert o == m and o[(1, 2)] == 2
 
 
+def _old_shingles(docs, id_col, text_col, n, max_df=None):
+    """The pre-r6 _shingles shape, verbatim: explode -> distinct ->
+    groupBy(s)+join-back cap."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')").alias(
+            "toks"
+        ),
+    )
+    sh = toks.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("s"),
+    ).distinct()
+    if max_df is not None:
+        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        sh = sh.join(keep, "s")
+    return sh
+
+
+@pytest.fixture(scope="module")
+def shingle_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy dog tonight now"),
+        (4, "completely different text about spark and parquet files"),
+        # repeated within-doc shingles (exercises array_distinct == distinct)
+        (5, "a b c a b c a b c a b c d e f"),
+        # duplicate id across rows (operator may NOT assume unique ids)
+        (6, "shared id first half of the document text"),
+        (6, "shared id second half of the document text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_window_cap_matches_join_back(spark, shingle_docs):
+    from marlin_spark.operators.dedup import _shingles
+
+    # compare by column NAME: the old join-back form emitted (s, _id),
+    # the window form (_id, s) — consumers are all name-based
+    for max_df in (None, 2, 3):
+        old = sorted(
+            (r["_id"], r["s"])
+            for r in _old_shingles(
+                shingle_docs, "doc_id", "text", 3, max_df=max_df
+            ).collect()
+        )
+        new = sorted(
+            (r["_id"], r["s"])
+            for r in _shingles(
+                shingle_docs, "doc_id", "text", 3, max_df=max_df
+            ).collect()
+        )
+        assert old == new and len(new) > 0
+
+
+def test_minhash_operator_matches_crossjoin_pipeline(spark, shingle_docs):
+    """The single-aggregation signature build + sig-column bands +
+    array_intersect verification must reproduce the pre-r6 crossJoin
+    pipeline exactly — including a partial trailing band (band_size=3
+    over 8 hashes) and duplicate input ids."""
+    from marlin_spark.operators.dedup import minhash_lsh_pairs
+
+    for n_hashes, band_size in ((8, 2), (8, 3)):
+        sh = _old_shingles(shingle_docs, "doc_id", "text", 3, max_df=None)
+        cnt = sh.groupBy("_id").agg(F.count("*").alias("n"))
+        hashes = spark.range(n_hashes).select(F.col("id").cast("int").alias("h"))
+        sigs = (
+            sh.crossJoin(F.broadcast(hashes))
+            .select(
+                "_id",
+                "h",
+                F.expr("md5(concat(cast(h AS STRING), '|', s))").alias("hv"),
+            )
+            .groupBy("_id", "h")
+            .agg(F.min("hv").alias("sig"))
+        )
+        bands = sigs.groupBy(
+            "_id", (F.col("h") / band_size).cast("int").alias("band")
+        ).agg(
+            F.expr(
+                "concat_ws('', transform(sort_array(collect_list(struct(h, sig))), "
+                "x -> x.sig))"
+            ).alias("bucket")
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+            .distinct()
+        )
+        shx = sh.select(F.col("_id").alias("a"), F.col("s").alias("sx"))
+        shy = sh.select(F.col("_id").alias("b2"), F.col("s").alias("sy"))
+        pr = (
+            cand.join(shx, "a")
+            .join(shy, (F.col("b") == F.col("b2")) & (F.col("sx") == F.col("sy")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+        ca = cnt.select(F.col("_id").alias("a"), F.col("n").alias("na"))
+        cb = cnt.select(F.col("_id").alias("b"), F.col("n").alias("nb"))
+        j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        old = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in pr.join(ca, "a")
+            .join(cb, "b")
+            .filter(j >= 0.3)
+            .select("a", "b", j.alias("jaccard"))
+            .collect()
+        }
+        new = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in minhash_lsh_pairs(
+                shingle_docs,
+                threshold=0.3,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                max_shingle_df=None,
+            ).collect()
+        }
+        assert old == new and (1, 2) in new
+
+
 def test_phrase_adjacency_array_form(spark):
     """zip_with-shifted-tail adjacency == positional self-join on a case
     with repeated tokens and a boundary-position phrase."""
