@@ -849,8 +849,10 @@ def dd_connected_components(spark, sf_dir):
         # old tempfile dir lived on the DRIVER's local disk, which dies
         # with the node exactly like a localCheckpoint does, so the
         # reliable-mode writes bought no fault tolerance here and cost
-        # ~1.8 s/run at sf0.1 (measured round 6)
-        connected_components(pairs)
+        # ~1.8 s/run at sf0.1 (measured round 6).
+        # dedup_edges=False: pairs come out of a groupBy(a, b) — already
+        # unique — so the edge distinct was a pure extra shuffle
+        connected_components(pairs, dedup_edges=False)
         .select(F.col("node").alias("doc_id"), "component")
         .orderBy("doc_id")
     )

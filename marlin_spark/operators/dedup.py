@@ -293,6 +293,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph by min-label
     propagation: every node's label converges to the smallest node id
@@ -334,12 +335,22 @@ def connected_components(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
-    edges = _cut(
-        edges.unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+    both = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = _cut(
+    # dedup_edges=False lets a caller whose pairs are already unique
+    # (e.g. the output of a groupBy) skip a full shuffle: min-label
+    # propagation is correct with duplicate edges (min is idempotent and
+    # the convergence count is per NODE, after the groupBy) — the
+    # distinct only bounds join-output inflation on duplicate-heavy
+    # inputs. The directed union itself cannot introduce duplicates
+    # when pairs are unique with a < b.
+    edges = _cut(both.distinct() if dedup_edges else both)
+    # initial labels stay LAZY: one distinct over the checkpointed edges,
+    # computed inside iteration 0's job — an eager checkpoint here cost
+    # its own job + a second materialization of the node set for nothing
+    # (labels is replaced after the first iteration)
+    labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))

@@ -269,6 +269,27 @@ def test_minhash_operator_matches_crossjoin_pipeline(spark, shingle_docs):
         assert old == new and (1, 2) in new
 
 
+def test_cc_dedup_edges_off_matches_on_with_duplicate_pairs(spark):
+    """dedup_edges=False must give identical components even when the
+    caller lies and passes duplicate pairs (min-label is idempotent);
+    the lazy initial-labels path must also converge identically."""
+    from marlin_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (5, 6), (2, 3), (7, 8), (6, 7)],
+        "a long, b long",
+    )
+    on = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, dedup_edges=True).collect()
+    }
+    off = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, dedup_edges=False).collect()
+    }
+    assert on == off == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
 def test_phrase_adjacency_array_form(spark):
     """zip_with-shifted-tail adjacency == positional self-join on a case
     with repeated tokens and a boundary-position phrase."""
