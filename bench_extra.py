@@ -9,6 +9,8 @@ Modes:
                        N repeats, print per-query seconds (min/median)
   --jobs  [names...]   count Spark jobs each query triggers (definition
                        + action), via the status tracker
+  --jpeg               per-image JPEG decode throughput (no Spark):
+                       256x256 RGB at 4:4:4 and 4:2:0, ms/image
 """
 
 from __future__ import annotations
@@ -44,16 +46,57 @@ def warm(spark):
     bm25_topk(docs, "warm session throwaway", k=5).count()
 
 
+def bench_jpeg() -> dict:
+    """Per-image decode ms for a deterministic 256x256 RGB fixture
+    (VERDICT r5 Missing #4: make the decode cost visible)."""
+    import numpy as np
+
+    from marlin_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    x = np.linspace(0, 255, 256)
+    g = (np.add.outer(x, x) / 2).astype(np.uint8)
+    img = np.stack(
+        [g, g.T, ((g.astype(int) + g.T) // 2).astype(np.uint8)], axis=-1
+    )
+    img = np.clip(
+        img.astype(int) + rng.integers(-20, 20, img.shape), 0, 255
+    ).astype(np.uint8)
+    out = {}
+    for name, sub in (("444", False), ("420", True)):
+        buf = encode_jpeg(img, quality=85, subsample=sub, restart_interval=8)
+        decode_jpeg(buf)  # warm (huffman LUT cache)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 3:
+            decode_jpeg(buf)
+            n += 1
+        out[name] = {
+            "bytes": len(buf),
+            "ms_per_image": round((time.time() - t0) / n * 1000, 2),
+            "iters": n,
+        }
+        print(f"jpeg {name}: {out[name]['ms_per_image']} ms/img "
+              f"({len(buf)} bytes, {n} iters)", flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--plans", action="store_true")
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--jobs", action="store_true")
+    ap.add_argument("--jpeg", action="store_true")
     ap.add_argument("--tag", default="before")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or HEADLINE
+
+    if args.jpeg:
+        print(json.dumps({"tag": args.tag, "jpeg_decode": bench_jpeg()}))
+        if not (args.plans or args.time or args.jobs):
+            return
 
     from marlin_spark.entry_queries import QUERIES
 

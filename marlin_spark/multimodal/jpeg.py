@@ -27,6 +27,7 @@ and structural marker parses.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -193,28 +194,63 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@lru_cache(maxsize=64)
+def _huffman_lut(bits_b: bytes, vals_b: bytes) -> tuple:
+    """Flat 2^16 lookup: the next 16 bits of the stream -> packed
+    (symbol << 8 | code_length), 0 for invalid prefixes.
+
+    Baseline huffman codes are <= 16 bits, so indexing one 16-bit peek
+    replaces the bit-by-bit dict walk of _BitReader.decode — same
+    symbols, ~10x fewer python ops per symbol. Keyed on the raw DHT
+    (bits, vals) payload and lru-cached: virtually every JPEG ships the
+    T.81 Annex K tables, so the build cost is paid once per session,
+    not per image (static table-derived data, nothing input-dependent)."""
+    table = _build_huffman(list(bits_b), list(vals_b))
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for (ln, code), sym in table.items():
+        start = code << (16 - ln)
+        lut[start:start + (1 << (16 - ln))] = (sym << 8) | ln
+    return tuple(lut.tolist())
+
+
 def _entropy_segments(scan: bytes) -> Iterator[bytes]:
-    """Destuffed entropy intervals split on RSTn markers."""
-    out = bytearray()
-    i = 0
-    n = len(scan)
-    while i < n:
-        b = scan[i]
-        if b != 0xFF:
-            out.append(b)
-            i += 1
+    """Destuffed entropy intervals split on RSTn markers.
+
+    Vectorized: only 0xFF positions (rare in entropy data) are visited
+    in python; plain bytes are carried by numpy slices. Semantics match
+    the old byte-loop exactly — FF 00 keeps the FF and drops the 00,
+    FF D0..D7 ends a segment, any other FF-marker (or trailing FF) ends
+    the scan."""
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    n = len(arr)
+    seg_start = 0
+    stuffed: list[int] = []  # absolute positions of stuffing 0x00 bytes
+
+    def _emit(a: int, b: int) -> bytes:
+        if not stuffed:
+            return arr[a:b].tobytes()
+        mask = np.ones(b - a, dtype=bool)
+        mask[np.asarray(stuffed) - a] = False
+        out = arr[a:b][mask].tobytes()
+        stuffed.clear()
+        return out
+
+    skip_until = 0  # resume point after a consumed FF-pair
+    for p in np.flatnonzero(arr == 0xFF).tolist():
+        if p < skip_until:
             continue
-        nxt = scan[i + 1] if i + 1 < n else 0xD9
+        nxt = int(arr[p + 1]) if p + 1 < n else 0xD9
         if nxt == 0x00:
-            out.append(0xFF)
-            i += 2
+            stuffed.append(p + 1)
+            skip_until = p + 2
         elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-            yield bytes(out)
-            out.clear()
-            i += 2
+            yield _emit(seg_start, p)
+            seg_start = p + 2
+            skip_until = p + 2
         else:  # EOI or next marker — scan is over
-            break
-    yield bytes(out)
+            yield _emit(seg_start, p)
+            return
+    yield _emit(seg_start, n)
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
@@ -222,7 +258,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> 2^16 LUT
     frame = None  # (h, w, comps) ; comps: [(cid, hs, vs, tq)]
     restart_interval = 0
     i = 2
@@ -258,7 +294,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17:p + 17 + nv])
-                huff[(tc, th)] = _build_huffman(bits, vals)
+                huff[(tc, th)] = _huffman_lut(bytes(bits), bytes(vals))
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -299,31 +335,73 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     tabs = {cs: (td, ta) for cs, td, ta in sel}
 
     n_mcu = mcux * mcuy
-    coef = {
-        c[0]: np.zeros((n_mcu * c[1] * c[2], 64), dtype=np.int32)
-        for c in comps
+    # coefficient rows accumulate as plain python lists (a [0]*64 store
+    # is several times cheaper than a numpy scalar __setitem__) and are
+    # converted to one int32 matrix per component at the end
+    coef_rows: dict[int, list] = {
+        c[0]: [None] * (n_mcu * c[1] * c[2]) for c in comps
     }
+    # LUT entropy decode: per (huffman symbol + value bits) pair, ONE
+    # 6-byte window fetch + ONE table index, instead of up to 16
+    # read-a-bit/dict-probe rounds (the per-symbol python loop flagged
+    # in round 5). Symbol stream, predictors and coefficients are
+    # byte-identical to the _BitReader path (pinned by the codec tests;
+    # the old reader zero-fills past the segment end — the padding and
+    # the short-chunk branch below reproduce that exactly). EXTEND
+    # (T.81 F.2.2.1) is inlined: v - (1 << t) + 1 when the sign bit is
+    # clear, the same mapping _extend computes.
     segments = _entropy_segments(scan)
-    reader = _BitReader(next(segments))
+    data = next(segments) + b"\x00" * 8
+    pos = 0
     pred = {c[0]: 0 for c in comps}
     seg_mcus = restart_interval or n_mcu
+    from_bytes = int.from_bytes
     for m in range(n_mcu):
         if m and m % seg_mcus == 0:
-            reader = _BitReader(next(segments))
+            data = next(segments) + b"\x00" * 8
+            pos = 0
             pred = {c[0]: 0 for c in comps}
         for cid, hs, vs, _tq in order:
-            dc_tab = huff[(0, tabs[cid][0])]
-            ac_tab = huff[(1, tabs[cid][1])]
+            dc_lut = huff[(0, tabs[cid][0])]
+            ac_lut = huff[(1, tabs[cid][1])]
+            rows_c = coef_rows[cid]
+            pred_c = pred[cid]
+            base = m * hs * vs
             for _blk in range(hs * vs):
-                row = coef[cid][m * hs * vs + _blk]
-                t = reader.decode(dc_tab)
-                pred[cid] += _extend(reader.read(t), t)
-                row[0] = pred[cid]
+                row = [0] * 64
+                rows_c[base + _blk] = row
+                idx = pos >> 3
+                chunk = data[idx:idx + 6]
+                if len(chunk) < 6:  # deep in the zero-fill tail
+                    chunk = chunk + b"\x00" * (6 - len(chunk))
+                window = (from_bytes(chunk, "big") >> (16 - (pos & 7))) & 0xFFFFFFFF
+                e = dc_lut[window >> 16]
+                if e == 0:
+                    raise ValueError("invalid huffman code in JPEG scan")
+                ln = e & 0xFF
+                t = e >> 8
+                pos += ln + t
+                if t:
+                    v = (window >> (32 - ln - t)) & ((1 << t) - 1)
+                    pred_c += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                row[0] = pred_c
                 k = 1
                 while k < 64:
-                    rs = reader.decode(ac_tab)
+                    idx = pos >> 3
+                    chunk = data[idx:idx + 6]
+                    if len(chunk) < 6:
+                        chunk = chunk + b"\x00" * (6 - len(chunk))
+                    window = (
+                        from_bytes(chunk, "big") >> (16 - (pos & 7))
+                    ) & 0xFFFFFFFF
+                    e = ac_lut[window >> 16]
+                    if e == 0:
+                        raise ValueError("invalid huffman code in JPEG scan")
+                    ln = e & 0xFF
+                    rs = e >> 8
                     r, s = rs >> 4, rs & 15
                     if s == 0:
+                        pos += ln
                         if r == 15:  # ZRL
                             k += 16
                             continue
@@ -331,16 +409,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     k += r
                     if k > 63:
                         raise ValueError("JPEG AC coefficient overrun")
-                    row[k] = _extend(reader.read(s), s)
+                    pos += ln + s
+                    v = (window >> (32 - ln - s)) & ((1 << s) - 1)
+                    row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     k += 1
+            pred[cid] = pred_c
 
     # Vectorized reconstruction per component.
     planes = {}
     for cid, hs, vs, tq in comps:
-        blocks = coef[cid].astype(np.float64)
+        blocks = np.array(coef_rows[cid], dtype=np.float64)
         blocks *= qt[tq][None, :].astype(np.float64)
         blocks = blocks[:, _UNZIGZAG].reshape(-1, 8, 8)
-        pix = np.einsum("ij,njk,kl->nil", _DCT_M.T, blocks, _DCT_M)
+        # batched BLAS matmul == the einsum 2-D IDCT, ~5x faster; fp
+        # accumulation order differs by <1e-9 which cannot move a
+        # rounded 8-bit pixel (pinned by test_jpeg_idct_matmul_matches_einsum)
+        pix = (_DCT_M.T @ blocks) @ _DCT_M
         pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
         # blocks are laid out MCU-major, then vs rows x hs cols inside
         cw, chh = mcux * hs * 8, mcuy * vs * 8

@@ -290,6 +290,112 @@ def test_cc_dedup_edges_off_matches_on_with_duplicate_pairs(spark):
     assert on == off == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 8: 5}
 
 
+def test_jpeg_huffman_lut_matches_bitreader_walk():
+    """The 2^16 LUT decode must emit the same symbol stream as the
+    canonical bit-by-bit _BitReader walk over random bitstreams, for
+    all four Annex K tables (and agree on where the stream dies)."""
+    import numpy as np
+
+    from marlin_spark.multimodal.jpeg import (
+        _AC_CHR_BITS, _AC_CHR_VALS, _AC_LUM_BITS, _AC_LUM_VALS,
+        _BitReader, _DC_CHR_BITS, _DC_CHR_VALS, _DC_LUM_BITS,
+        _DC_LUM_VALS, _build_huffman, _huffman_lut,
+    )
+
+    rng = np.random.default_rng(7)
+    for bits, vals in (
+        (_DC_LUM_BITS, _DC_LUM_VALS), (_DC_CHR_BITS, _DC_CHR_VALS),
+        (_AC_LUM_BITS, _AC_LUM_VALS), (_AC_CHR_BITS, _AC_CHR_VALS),
+    ):
+        table = _build_huffman(bits, vals)
+        lut = _huffman_lut(bytes(bits), bytes(vals))
+        data = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+        # reference walk
+        rd = _BitReader(data)
+        ref, ref_err = [], False
+        try:
+            for _ in range(600):
+                ref.append(rd.decode(table))
+        except ValueError:
+            ref_err = True
+        # LUT walk with the decoder's window math
+        got, got_err, pos = [], False, 0
+        padded = data + b"\x00" * 8
+        for _ in range(len(ref) + (1 if ref_err else 0)):
+            idx = pos >> 3
+            chunk = padded[idx:idx + 6]
+            if len(chunk) < 6:
+                chunk = chunk + b"\x00" * (6 - len(chunk))
+            window = (
+                int.from_bytes(chunk, "big") >> (16 - (pos & 7))
+            ) & 0xFFFFFFFF
+            e = lut[window >> 16]
+            if e == 0:
+                got_err = True
+                break
+            got.append(e >> 8)
+            pos += e & 0xFF
+        assert got == ref and got_err == ref_err
+
+
+def test_jpeg_entropy_segments_match_byte_loop():
+    """The vectorized destuffer must equal the original byte loop on
+    stuffing, restart, truncation and degenerate inputs."""
+    from marlin_spark.multimodal.jpeg import _entropy_segments
+
+    def old(scan):
+        out, i, n, segs = bytearray(), 0, len(scan), []
+        while i < n:
+            b = scan[i]
+            if b != 0xFF:
+                out.append(b)
+                i += 1
+                continue
+            nxt = scan[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(out))
+                out.clear()
+                i += 2
+            else:
+                break
+        segs.append(bytes(out))
+        return segs
+
+    cases = [
+        b"",
+        b"\x01\x02\x03",
+        b"ab\xff\x00cd",
+        b"ab\xff\xd0cd\xff\xd1ef",
+        b"\xff\x00\xff\xd0\xff\x00\xff\xd9trailing",
+        b"data\xff",
+        b"\xff\xff\x00",
+        b"x\xff\xd7\xff\xd0y\xff\x00\xff\xc0junk",
+    ]
+    for scan in cases:
+        assert list(_entropy_segments(scan)) == old(scan), scan
+
+
+def test_jpeg_idct_matmul_matches_einsum():
+    """Batched matmul IDCT must produce the SAME rounded uint8 pixels
+    as the einsum form across extreme random coefficient blocks."""
+    import numpy as np
+
+    from marlin_spark.multimodal.jpeg import _DCT_M
+
+    rng = np.random.default_rng(1)
+    blocks = rng.integers(-1024, 1024, (8192, 8, 8)).astype(np.float64)
+    blocks *= rng.integers(1, 255, (1, 8, 8)).astype(np.float64)
+    a = np.einsum("ij,njk,kl->nil", _DCT_M.T, blocks, _DCT_M)
+    b = (_DCT_M.T @ blocks) @ _DCT_M
+    assert np.abs(a - b).max() < 1e-8
+    ra = np.clip(np.round(a) + 128, 0, 255).astype(np.uint8)
+    rb = np.clip(np.round(b) + 128, 0, 255).astype(np.uint8)
+    assert (ra == rb).all()
+
+
 def test_phrase_adjacency_array_form(spark):
     """zip_with-shifted-tail adjacency == positional self-join on a case
     with repeated tokens and a boundary-position phrase."""
