@@ -11,6 +11,8 @@ Modes:
                        + action), via the status tracker
   --jpeg               per-image JPEG decode throughput (no Spark):
                        256x256 RGB at 4:4:4 and 4:2:0, ms/image
+  --png                per-image PNG decode throughput (no Spark):
+                       256x256 RGB per filter type 0-4, ms/image
 """
 
 from __future__ import annotations
@@ -49,19 +51,9 @@ def warm(spark):
 def bench_jpeg() -> dict:
     """Per-image decode ms for a deterministic 256x256 RGB fixture
     (VERDICT r5 Missing #4: make the decode cost visible)."""
-    import numpy as np
-
     from marlin_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 
-    rng = np.random.default_rng(42)
-    x = np.linspace(0, 255, 256)
-    g = (np.add.outer(x, x) / 2).astype(np.uint8)
-    img = np.stack(
-        [g, g.T, ((g.astype(int) + g.T) // 2).astype(np.uint8)], axis=-1
-    )
-    img = np.clip(
-        img.astype(int) + rng.integers(-20, 20, img.shape), 0, 255
-    ).astype(np.uint8)
+    img = _fixture_rgb()
     out = {}
     for name, sub in (("444", False), ("420", True)):
         buf = encode_jpeg(img, quality=85, subsample=sub, restart_interval=8)
@@ -81,20 +73,64 @@ def bench_jpeg() -> dict:
     return out
 
 
+def _fixture_rgb():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    x = np.linspace(0, 255, 256)
+    g = (np.add.outer(x, x) / 2).astype(np.uint8)
+    img = np.stack(
+        [g, g.T, ((g.astype(int) + g.T) // 2).astype(np.uint8)], axis=-1
+    )
+    return np.clip(
+        img.astype(int) + rng.integers(-20, 20, img.shape), 0, 255
+    ).astype(np.uint8)
+
+
+def bench_png() -> dict:
+    """Per-image PNG decode ms per filter type (sequential-filter cost)."""
+    from marlin_spark.multimodal.binary import _decode_png, encode_png
+
+    img = _fixture_rgb()
+    out = {}
+    for ft in range(5):
+        buf = encode_png(img, filter_type=ft)
+        assert (_decode_png(buf) == img).all()
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 3:
+            _decode_png(buf)
+            n += 1
+        out[str(ft)] = {
+            "bytes": len(buf),
+            "ms_per_image": round((time.time() - t0) / n * 1000, 2),
+            "iters": n,
+        }
+        print(f"png filter={ft}: {out[str(ft)]['ms_per_image']} ms/img "
+              f"({len(buf)} bytes, {n} iters)", flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--plans", action="store_true")
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--jobs", action="store_true")
     ap.add_argument("--jpeg", action="store_true")
+    ap.add_argument("--png", action="store_true")
     ap.add_argument("--tag", default="before")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or HEADLINE
 
-    if args.jpeg:
-        print(json.dumps({"tag": args.tag, "jpeg_decode": bench_jpeg()}))
+    if args.jpeg or args.png:
+        res = {"tag": args.tag}
+        if args.jpeg:
+            res["jpeg_decode"] = bench_jpeg()
+        if args.png:
+            res["png_decode"] = bench_png()
+        print(json.dumps(res))
         if not (args.plans or args.time or args.jobs):
             return
 

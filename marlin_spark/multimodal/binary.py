@@ -181,19 +181,37 @@ def _decode_png(buf: bytes) -> np.ndarray:
             cur = line.reshape(w, ch).cumsum(axis=0).reshape(-1)
         elif f == 2:  # Up
             cur = line + prev
-        elif f == 3:  # Average: left-dependency -> per-pixel scan
-            cur = np.zeros(w * ch, np.int64)
-            for i in range(w * ch):
-                a = cur[i - ch] if i >= ch else 0
-                cur[i] = line[i] + ((a + prev[i]) >> 1)
-                cur[i] &= 0xFF
-        elif f == 4:  # Paeth
-            cur = np.zeros(w * ch, np.int64)
-            for i in range(w * ch):
-                a = cur[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                cur[i] = line[i] + _paeth(int(a), int(prev[i]), int(c))
-                cur[i] &= 0xFF
+        elif f == 3:  # Average: left-dependency -> sequential scan, but
+            # over plain python ints (lists) — numpy scalar indexing in
+            # the loop was ~30x slower for identical arithmetic
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * (w * ch)
+            for i in range(ch):
+                cur_l[i] = (line_l[i] + (prev_l[i] >> 1)) & 0xFF
+            for i in range(ch, w * ch):
+                cur_l[i] = (
+                    line_l[i] + ((cur_l[i - ch] + prev_l[i]) >> 1)
+                ) & 0xFF
+            cur = np.array(cur_l, dtype=np.int64)
+        elif f == 4:  # Paeth (same list treatment; _paeth inlined)
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * (w * ch)
+            for i in range(ch):
+                # a = c = 0: the Paeth predictor reduces to b = prev[i]
+                cur_l[i] = (line_l[i] + prev_l[i]) & 0xFF
+            for i in range(ch, w * ch):
+                a = cur_l[i - ch]
+                b = prev_l[i]
+                c = prev_l[i - ch]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur_l[i] = (line_l[i] + pr) & 0xFF
+            cur = np.array(cur_l, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = (cur & 0xFF).astype(np.uint8)

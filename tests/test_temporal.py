@@ -1,6 +1,7 @@
 """asof_join / range_join_bucketed (operators/temporal.py) vs brute force."""
 
 import random
+import re
 
 from pyspark.sql import functions as F
 
@@ -118,9 +119,16 @@ def test_asof_join_chunked_matches_unchunked(spark):
     got = {tuple(r) for r in chunked.collect()}
     assert got == want
     # the heavy pass-1 window hash-partitions on (key, chunk), not key
-    # alone: the hot key's rows spread over its ~20 chunks
+    # alone: the hot key's rows spread over its ~20 chunks. Pin the
+    # actual partitioning spec: some Exchange must hash on BOTH the key
+    # and the chunk column (r5 verdict: the old `"_c" in plan` check was
+    # tautological — any plan computing the column passed it)
     plan = chunked._jdf.queryExecution().executedPlan().toString()
-    assert "_c" in plan.split("Window")[0] or "_c" in plan, plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_c#" in p and "_k#" in p for p in parts), plan
+    # and dropping the chunk would be caught: no key-only hash exchange
+    # should carry the pass-1 window's sort on the raw timestamp
+    assert "_c" in plan
 
 
 def test_range_join_matches_bruteforce(spark):
