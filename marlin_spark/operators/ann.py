@@ -46,6 +46,19 @@ def _lit_vec(vec) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _py_norm(vec) -> float:
+    """The literal query vector's norm, folded planner-side: the same
+    sequential double *, + and sqrt the JVM fold applies to the same
+    values in the same order — bit-identical, and the per-row plan
+    drops a 64-element fold."""
+    import math
+
+    acc = 0.0
+    for v in vec:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)  # correctly-rounded IEEE sqrt, same as the JVM's
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec,
@@ -55,8 +68,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
     q = _lit_vec(query_vec)
+    cos = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(_py_norm(query_vec)))
     return (
-        emb.select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        emb.select(id_col, cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
@@ -89,9 +103,10 @@ def lsh_topk(
         for p in planes
     )
     q = _lit_vec(query_vec)
+    cos = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(_py_norm(query_vec)))
     return (
         b.filter(F.col("lsh_bucket") == qbits)
-        .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        .select(id_col, cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
@@ -112,17 +127,22 @@ def near_dup_pairs(
             "lsh_bucket from with_lsh_bucket) — an unblocked self-join "
             "is quadratic and will not survive scale"
         )
+    # row norms once per ROW (before the join) instead of once per PAIR
+    # — identical expression values either way (same port as the
+    # emb_near_dup entry, round 6)
     x = emb.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("ea"),
+        norm(F.col(vec_col)).alias("na"),
     )
     y = emb.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("eb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
-    c = cosine(F.col("ea"), F.col("eb"))
+    c = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         x.join(y, "_blk")
         .filter(F.col("a") < F.col("b"))

@@ -290,6 +290,47 @@ def test_cc_dedup_edges_off_matches_on_with_duplicate_pairs(spark):
     assert on == off == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 8: 5}
 
 
+def test_ann_planner_norm_and_row_norm_bit_identical(spark):
+    """_py_norm must equal the JVM fold bit-for-bit on arbitrary float
+    vectors, and the row-norm-before-join near-dup cosine must equal
+    the per-pair cosine() form exactly."""
+    import random as _r
+
+    from marlin_spark.operators import ann
+
+    rng = _r.Random(11)
+    vecs = [
+        [rng.uniform(-2, 2) for _ in range(64)] for _ in range(20)
+    ]
+    rows = [(i, i % 3, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    jvm_norms = {
+        r["vec_id"]: r["n"]
+        for r in df.select(
+            "vec_id", ann.norm(F.col("embedding")).alias("n")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert ann._py_norm(v) == jvm_norms[i]  # exact, not approx
+    # per-pair cosine() == dot/(na*nb) with norms computed pre-join
+    old = df.alias("x").join(df.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+    old = {
+        (r["a"], r["b"]): r["c"]
+        for r in old.select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            ann.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("c"),
+        ).collect()
+    }
+    new = {
+        (r["a"], r["b"]): r["cos"]
+        for r in ann.near_dup_pairs(df, threshold=-2.0, block_col="label").collect()
+    }
+    assert new and all(old[k] == new[k] for k in new)  # exact doubles
+
+
 def test_jpeg_huffman_lut_matches_bitreader_walk():
     """The 2^16 LUT decode must emit the same symbol stream as the
     canonical bit-by-bit _BitReader walk over random bitstreams, for
