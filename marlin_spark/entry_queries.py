@@ -923,9 +923,11 @@ def dd_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
-        # candidate pairs feed the verification join THREE ways (pair
-        # list + both id sides) — same lineage-truncation rationale as sh
-        .localCheckpoint(eager=True)
+        # no lineage cut here: the array-based verification rewrite
+        # (below) consumes cand exactly ONCE, so the eager checkpoint
+        # that the old 3-way verification join needed became pure
+        # overhead (one extra materialization job; +0.8 s warm in the
+        # round-6 A/B — interleaved 4x4 runs, both orders)
     )
     # exact-Jaccard verification on per-doc KEPT-shingle sets: two joins
     # of the candidate pairs against (doc -> shingle array, n) and a
