@@ -1139,6 +1139,34 @@ def _norm_py(vec) -> float:
     return math.sqrt(s)
 
 
+def _dot_py(a, b) -> float:
+    """Sequential left-fold dot product — the exact op order of the JVM
+    `aggregate(zip_with(...))` fold in _dot_col, so bit-identical."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def _round_spark_double(x: float, scale: int = 6) -> float:
+    """Exact Python twin of Spark's round(double, scale): Spark routes
+    doubles through BigDecimal.valueOf (Double.toString — the shortest
+    decimal repr, which Python's repr also produces), setScale HALF_UP,
+    toDouble (BigDecimal has no signed zero, hence the `+ 0.0`).
+    Pinned bit-for-bit against F.round over 20k random doubles + the
+    half-way/signed-zero edge cases (tests/test_r06_opt_equivalence)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return (
+        float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+            )
+        )
+        + 0.0
+    )
+
+
 @register(
     "ann_cosine_topk",
     f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1263,21 +1291,22 @@ def ann_ivf_topk(spark, sf_dir):
     vecs = _vecs_rows(spark, sf_dir, range(_IVF_C + 1))  # ONE collect: q + C centroids
     q, cents = vecs[0], vecs[1:]
     emb = F.col("embedding")
-    # probe selection: same score expression evaluated over the centroid
-    # rows (tiny bounded job — the centroid table is C rows at any scale)
-    probe_rows = (
-        e.filter(F.col("vec_id").between(1, _IVF_C))
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.round(
-                _dot_lit(emb, q) / _norm_col(emb), 6
-            ).alias("s"),
-        )
-        .orderBy(F.desc("s"), F.asc("cid"))
-        .limit(_IVF_NPROBE)
-        .collect()
-    )
-    probe_cids = [int(r["cid"]) for r in probe_rows]
+    # probe selection planner-side: the centroid vectors are ALREADY in
+    # the driver (the _vecs_rows collect above), so scoring C of them
+    # against q needs no Spark job — the old bounded probe job re-read
+    # the same C rows. Same fold order (dot, norm) and the exact
+    # round-HALF_UP twin give the identical rounded score, same
+    # (desc s, asc cid) ordering (pinned vs the in-plan formulation by
+    # tests/test_r06_opt_equivalence.py).
+    probe_cids = [
+        cid
+        for _, cid in sorted(
+            (
+                (-_round_spark_double(_dot_py(cvec, q) / _norm_py(cvec)), i)
+                for i, cvec in enumerate(cents, start=1)
+            )
+        )[:_IVF_NPROBE]
+    ]
     structs = [
         F.struct(
             F.round(

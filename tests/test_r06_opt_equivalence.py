@@ -455,3 +455,71 @@ def test_phrase_adjacency_array_form(spark):
     )
     got = sorted(r["doc_id"] for r in d.filter(adjacent).collect())
     assert got == [1, 2, 4]
+
+
+def test_round_spark_double_twin_bit_identical(spark):
+    """_round_spark_double must match F.round(double, 6) bit-for-bit —
+    it moves the IVF probe selection planner-side, so any rounding
+    divergence would silently change which buckets a query probes."""
+    import random
+
+    from marlin_spark.entry_queries import _round_spark_double
+
+    rng = random.Random(7)
+    xs = [rng.uniform(-2, 2) * 10 ** rng.randint(-8, 3) for _ in range(5000)]
+    xs += [0.1234565, -0.1234565, 1.0000005, -1.0000005, 2.5e-7, -2.5e-7,
+           0.0, -0.0, 5e-7, -5e-7, 1.4999995, -1.4999995]
+    rows = spark.createDataFrame([(x,) for x in xs], "x double").select(
+        "x", F.round("x", 6).alias("r")
+    ).collect()
+    for r in rows:
+        assert repr(_round_spark_double(r["x"])) == repr(r["r"]), (
+            r["x"], r["r"], _round_spark_double(r["x"])
+        )
+
+
+def test_ivf_probe_planner_side_matches_spark_job(spark):
+    """The planner-side probe selection (python dot/norm/round over the
+    collected centroids) must pick the same nprobe cids, in the same
+    order, as the old in-plan formulation (scan + score + orderBy +
+    limit) it replaced."""
+    from marlin_spark.entry_queries import (
+        _IVF_C,
+        _IVF_NPROBE,
+        _dot_lit,
+        _dot_py,
+        _emb,
+        _norm_col,
+        _norm_py,
+        _round_spark_double,
+        _vecs_rows,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = _emb(spark, sf)
+        vecs = _vecs_rows(spark, sf, range(_IVF_C + 1))
+        q, cents = vecs[0], vecs[1:]
+        emb = F.col("embedding")
+        old = [
+            int(r["cid"])
+            for r in (
+                e.filter(F.col("vec_id").between(1, _IVF_C))
+                .select(
+                    F.col("vec_id").alias("cid"),
+                    F.round(_dot_lit(emb, q) / _norm_col(emb), 6).alias("s"),
+                )
+                .orderBy(F.desc("s"), F.asc("cid"))
+                .limit(_IVF_NPROBE)
+                .collect()
+            )
+        ]
+        new = [
+            cid
+            for _, cid in sorted(
+                (
+                    (-_round_spark_double(_dot_py(c, q) / _norm_py(c)), i)
+                    for i, c in enumerate(cents, start=1)
+                )
+            )[:_IVF_NPROBE]
+        ]
+        assert old == new, (sf, old, new)
